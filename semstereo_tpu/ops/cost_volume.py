@@ -1,0 +1,85 @@
+"""Group-wise correlation cost volumes (cosine-normalized).
+
+TPU-native re-design of the reference's shift-loop volume builders
+(/root/reference/models/submodule.py:213-238 symmetric [-maxdisp, maxdisp)
+semantics; /root/reference/models/submodule_.py:200-221 positive [0, maxdisp)
+semantics used by the WHU model).
+
+Layouts are channels-last: features [B, H, W, C], volume [B, D, H, W, G].
+Disparity plane ``d`` corresponds to shift ``d - max_shift`` (symmetric) or
+``d`` (positive): ``vol[b, d, h, x, g] = mean_c ln[b,h,x,g,c] * rn[b,h,x-s,g,c]``
+for in-range ``x - s``, else 0 — identical masking to the reference builders.
+
+Two implementations behind one API:
+  * ``impl='xla'``   — unrolled static shifts; XLA fuses the multiply+reduce.
+  * ``impl='pallas'``— one-pass VMEM-resident kernel (ops/pallas/cost_volume_kernel.py):
+                       reads each feature map once instead of D times.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_groups(feat: jax.Array, num_groups: int, eps: float = 1e-5) -> jax.Array:
+    """L2-normalize features within each channel group.
+
+    feat: [B, H, W, C] -> [B, H, W, G, C//G], unit-norm over the last axis
+    (norm + eps in the denominator, matching
+    /root/reference/models/submodule.py:219).
+    """
+    b, h, w, c = feat.shape
+    assert c % num_groups == 0, (c, num_groups)
+    g = feat.reshape(b, h, w, num_groups, c // num_groups)
+    norm = jnp.sqrt(jnp.sum(jnp.square(g), axis=-1, keepdims=True))
+    return g / (norm + eps)
+
+
+def _shift_list(max_shift: int, symmetric: bool) -> list[int]:
+    if symmetric:
+        return list(range(-max_shift, max_shift))
+    return list(range(max_shift))
+
+
+def gwc_volume_norm_xla(
+    left: jax.Array,
+    right: jax.Array,
+    max_shift: int,
+    num_groups: int,
+    symmetric: bool = True,
+) -> jax.Array:
+    """Cosine group-wise correlation volume, pure-XLA implementation.
+
+    left, right: [B, H, W, C]; returns [B, D, H, W, G] with
+    D = 2*max_shift (symmetric) or max_shift (positive).
+    """
+    b, h, w, c = left.shape
+    ln = normalize_groups(left, num_groups)
+    rn = normalize_groups(right, num_groups)
+    x_idx = jnp.arange(w)[None, None, :, None]  # [1, 1, W, 1]
+
+    planes = []
+    for s in _shift_list(max_shift, symmetric):
+        # right sample at column x - s; roll moves rn[x-s] into position x.
+        r_s = jnp.roll(rn, s, axis=2) if s != 0 else rn
+        corr = jnp.mean(ln * r_s, axis=-1)  # [B, H, W, G]
+        valid = (x_idx >= max(s, 0)) & (x_idx < w + min(s, 0))
+        planes.append(jnp.where(valid, corr, 0.0))
+    return jnp.stack(planes, axis=1)  # [B, D, H, W, G]
+
+
+def gwc_volume_norm(
+    left: jax.Array,
+    right: jax.Array,
+    max_shift: int,
+    num_groups: int,
+    symmetric: bool = True,
+    impl: str = "xla",
+) -> jax.Array:
+    """Dispatching wrapper; see module docstring."""
+    if impl == "pallas":
+        from semstereo_tpu.ops.pallas.cost_volume_kernel import gwc_volume_norm_pallas
+
+        return gwc_volume_norm_pallas(left, right, max_shift, num_groups, symmetric)
+    return gwc_volume_norm_xla(left, right, max_shift, num_groups, symmetric)
