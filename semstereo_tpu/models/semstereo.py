@@ -1,0 +1,210 @@
+"""SemStereo: semantic-constrained stereo matching network, TPU-native.
+
+Fresh JAX re-design of the reference graph
+(/root/reference/models/SemStereo.py:184-346 and the WHU twin
+models/SemStereo_WHU.py, which differs only in positive-disparity semantics:
+attention volume interpolated to maxdisp//4 planes and un-recentred top-k
+samples — lines 279/305).  One class covers both via ``symmetric``.
+
+Layouts: images [B, H, W, C]; cost volumes [B, D, H, W, C]; hypothesis maps
+[B, K, H, W].  Mode flags (att_weights_only / seg_if / stereo_if) are static
+module attributes, so each configuration traces to its own fused XLA program.
+
+Outputs (dict):
+  train, stage-1:  disp = (pred_att_up*4, pred_att*4)
+  train, stage-2:  disp = (pred_up*4, pred*4, pred_att_up*4, pred_att*4)
+  eval:            disp = (pred_up*4,)  [or pred_att_up in stage 1]
+  seg_if adds      label_l, label_r : [B, H, W, num_classes] logits
+(The reference requires seg_if=True whenever stereo_if=True — its SSR
+upsampler consumes pred_label unconditionally, SemStereo.py:311.)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from semstereo_tpu.nn import (
+    BasicConv,
+    ChannelAtt,
+    Classifier3D,
+    Conv2x,
+    ConvBn,
+    Hourglass3D,
+    MobileViTv2Backbone,
+    SegmentHead,
+    SSRUpsample,
+    TorchConv,
+    TorchConvTranspose,
+)
+from semstereo_tpu.ops import (
+    disparity_regression,
+    disparity_variance,
+    gwc_volume_norm,
+    propagate5,
+    propagate5_volume,
+    regression_topk,
+    resize_trilinear,
+    topk_planes,
+    warp_with_left,
+)
+
+# Fused-pyramid channel plan (reference SemStereo.py:196-197).
+CHANS = (128, 256, 512, 768, 512)
+CHANS2 = (64, 128, 256, 384, 256)
+
+
+class FeatUp(nn.Module):
+    """Top-down FPN of deconv Conv2x stages, shared across left/right
+    (reference SemStereo.py:59-86)."""
+
+    @nn.compact
+    def __call__(self, feat_l, feat_r, train: bool = False):
+        x2, x4, x8, x16, x32 = feat_l
+        y2, y4, y8, y16, y32 = feat_r
+        d32_16 = Conv2x(384, deconv=True, name="deconv32_16")
+        d16_8 = Conv2x(256, deconv=True, name="deconv16_8")
+        d8_4 = Conv2x(128, deconv=True, name="deconv8_4")
+        d4_2 = Conv2x(64, deconv=True, name="deconv4_2")
+        x16, y16 = d32_16(x32, x16, train), d32_16(y32, y16, train)
+        x8, y8 = d16_8(x16, x8, train), d16_8(y16, y8, train)
+        x4, y4 = d8_4(x8, x4, train), d8_4(y8, y4, train)
+        x2, y2 = d4_2(x4, x2, train), d4_2(y4, y2, train)
+        return [x2, x4, x8, x16, x32], [y2, y4, y8, y16, y32]
+
+
+class SemStereo(nn.Module):
+    maxdisp: int = 64
+    num_classes: int = 6
+    att_weights_only: bool = False
+    seg_if: bool = True
+    stereo_if: bool = True
+    symmetric: bool = True  # True: US3D [-maxdisp, maxdisp); False: WHU [0, maxdisp)
+    topk: int = 24
+    refine_topk: int = 2
+    cost_volume_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, left, right, train: bool = False):
+        assert self.seg_if or not self.stereo_if, (
+            "stereo_if requires seg_if: SSR upsampling consumes pred_label "
+            "(reference SemStereo.py:311)"
+        )
+        backbone = MobileViTv2Backbone(name="feature")
+        feat_l = backbone(left, train)
+        feat_r = backbone(right, train)
+        feat_l, feat_r = FeatUp(name="feature_up")(feat_l, feat_r, train)
+
+        out: dict[str, Any] = {}
+        if self.seg_if:
+            head_l = SegmentHead(CHANS[0] // 4, self.num_classes, 2, name="head_l")
+            head_r = SegmentHead(CHANS[0] // 4, self.num_classes, 2, name="head_r")
+            pred_label = head_l(feat_l[0], train)
+            out["label_l"] = pred_label
+            out["label_r"] = head_r(feat_r[0], train)
+
+        if not self.stereo_if:
+            return out
+
+        # --- channel reduction (chal_1/chal_2 shared across views) ---
+        chal = [
+            ConvBn(CHANS2[i], 1, padding=0, use_bias=True, name=f"chal_{i}")
+            for i in range(5)
+        ]
+        fl = [chal[i](feat_l[i], train) for i in range(5)]
+        fr1 = chal[1](feat_r[1], train)
+        fr2 = chal[2](feat_r[2], train)
+
+        # --- superpixel weight chain -> full-res spx weights ---
+        xspx = Conv2x(CHANS2[3], deconv=True, name="spx32_16")(fl[4], fl[3], train)
+        xspx = Conv2x(CHANS2[2], deconv=True, name="spx16_8")(xspx, fl[2], train)
+        xspx = Conv2x(CHANS2[1], deconv=True, name="spx8_4")(xspx, fl[1], train)
+        xspx = Conv2x(CHANS2[0], deconv=True, name="spx4_2")(xspx, fl[0], train)
+        spx_pred = TorchConvTranspose(
+            self.num_classes, 4, 2, 1, use_bias=True, name="spx2"
+        )(xspx)
+
+        # --- stage 1: attention-weight (coarse) cost volume at /8 ---
+        groups = CHANS2[2] // 8  # 32
+        corr = gwc_volume_norm(
+            fl[2], fr2, self.maxdisp // 8, groups,
+            symmetric=self.symmetric, impl=self.cost_volume_impl,
+        )  # [B, D8, H8, W8, G]
+        corr = TorchConv(
+            groups, (1, 3, 3), padding=(0, 1, 1), dims=3, groups=groups,
+            use_bias=False, name="patch",
+        )(corr)
+        cost_att = ChannelAtt(groups, name="corr_feature_att_8")(corr, fl[2], train)
+        cost_att = Hourglass3D(32, (4, 4, 4), name="hourglass_att")(cost_att, train)
+        cost_att = Classifier3D(32, name="classif_att")(cost_att, train)
+
+        d4 = self.maxdisp // 4 * (2 if self.symmetric else 1)
+        h4, w4 = left.shape[1] // 4, left.shape[2] // 4
+        att_weights = resize_trilinear(cost_att, (d4, h4, w4))[..., 0]  # [B, D4, H4, W4]
+
+        att_prob_full = jax.nn.softmax(att_weights, axis=1)
+        pred_att = disparity_regression(att_prob_full, self.symmetric)
+
+        # confidence from soft-argmin variance, learned gamma/beta
+        gamma = self.param("gamma", nn.initializers.zeros, (1,))
+        beta = self.param("beta", nn.initializers.constant(2.0), (1,))
+        var = disparity_variance(att_prob_full, pred_att, self.symmetric)
+        conf = jax.nn.sigmoid(beta[0] + gamma[0] * var)  # [B, H4, W4]
+
+        conf_samples = propagate5(conf)  # [B, 5, H4, W4]
+        disp_samples = propagate5(pred_att)
+
+        warped_r, tiled_l = warp_with_left(fl[1], fr1, disp_samples)
+        strength = jnp.mean(tiled_l * warped_r, axis=-1)  # [B, 5, H4, W4]
+        strength = jax.nn.softmax(strength * conf_samples, axis=1)
+
+        att_weights = propagate5_volume(att_weights)  # [B, 5, D4, H4, W4]
+        att_weights = jnp.sum(att_weights * strength[:, :, None], axis=1)
+
+        att_topk, att_raw, samples = topk_planes(att_weights, self.topk, self.symmetric)
+        att_prob = jax.nn.softmax(att_raw, axis=1)
+        pred_att = jnp.sum(att_prob * samples, axis=1)  # [B, H4, W4]
+        ssr = SSRUpsample(self.num_classes, name="ssr_upsample")
+        pred_att_up = ssr(pred_att[..., None], spx_pred, pred_label, train)
+
+        if not self.att_weights_only:
+            # --- stage 2: top-k-sampled concat volume refinement at /4 ---
+            concat_feature = _ConcatFeature(name="concat_feature")
+            lc = concat_feature(fl[1], train)
+            rc = concat_feature(fr1, train)
+            warped_rc, tiled_lc = warp_with_left(lc, rc, samples)
+            concat_volume = jnp.concatenate([tiled_lc, warped_rc], axis=-1)
+
+            volume = att_topk[..., None] * concat_volume
+            volume = BasicConv(CHANS2[1] // 4, 3, 1, 1, dims=3, name="concat_stem")(
+                volume, train
+            )
+            volume = ChannelAtt(CHANS2[1] // 4, name="concat_feature_att_4")(
+                volume, fl[1], train
+            )
+            cost = Hourglass3D(32, (6, 4, 4), name="hourglass")(volume, train)
+            cost = Classifier3D(32, name="classif")(cost, train)[..., 0]
+            pred = regression_topk(cost, samples, self.refine_topk)
+            pred_up = ssr(pred[..., None], spx_pred, pred_label, train)
+
+        if train:
+            if self.att_weights_only:
+                out["disp"] = (pred_att_up * 4, pred_att * 4)
+            else:
+                out["disp"] = (pred_up * 4, pred * 4, pred_att_up * 4, pred_att * 4)
+        else:
+            out["disp"] = ((pred_att_up if self.att_weights_only else pred_up) * 4,)
+        return out
+
+
+class _ConcatFeature(nn.Module):
+    """BasicConv 3x3 (128->64) + plain 3x3 conv to 32 channels
+    (reference concat_feature, SemStereo.py:221-223)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BasicConv(CHANS2[1] // 2, 3, 1, 1, name="cf0")(x, train)
+        return TorchConv(CHANS2[1] // 4, 3, 1, 1, use_bias=False, name="cf1")(x)

@@ -1,0 +1,208 @@
+"""Core linen building blocks (channels-last, 2-D and 3-D).
+
+TPU-native re-design of the reference's block library
+(/root/reference/models/submodule.py:89-161 BasicConv/Conv2x and the
+convbn_3d helper at /root/reference/models/submodule_other.py:845-848).
+Convs carry no bias when followed by BN (as in the reference); transposed
+convs reproduce torch geometry via ops.convops.conv_transpose_nd.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from semstereo_tpu.ops.convops import conv_nd, conv_transpose_nd
+from semstereo_tpu.ops.resize import resize_bilinear
+
+# Mirrors the reference SubModule.weight_init: normal(0, sqrt(2 / fan_out))
+# with fan_out = prod(kernel) * out_channels (/root/reference/models/SemStereo.py:18-31).
+kaiming_out_normal = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _tup(v, n):
+    return (v,) * n if isinstance(v, int) else tuple(v)
+
+
+class TorchConv(nn.Module):
+    """Plain conv with torch-style integer padding; kernel [*K, Cin/groups, Cout]."""
+
+    features: int
+    kernel_size: Any = 3
+    stride: Any = 1
+    padding: Any = 0
+    dims: int = 2
+    groups: int = 1
+    use_bias: bool = True
+    dilation: Any = 1
+    kernel_init: Any = kaiming_out_normal
+
+    @nn.compact
+    def __call__(self, x):
+        k = _tup(self.kernel_size, self.dims)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (*k, cin // self.groups, self.features), x.dtype
+        )
+        y = conv_nd(
+            x, kernel, self.stride, self.padding, dilation=self.dilation, groups=self.groups
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
+            y = y + bias
+        return y
+
+
+class TorchConvTranspose(nn.Module):
+    """Transposed conv with torch geometry; kernel [*K, Cin, Cout]."""
+
+    features: int
+    kernel_size: Any = 4
+    stride: Any = 2
+    padding: Any = 1
+    output_padding: Any = 0
+    dims: int = 2
+    use_bias: bool = True
+    kernel_init: Any = kaiming_out_normal
+
+    @nn.compact
+    def __call__(self, x):
+        k = _tup(self.kernel_size, self.dims)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (*k, cin, self.features), x.dtype
+        )
+        y = conv_transpose_nd(x, kernel, self.stride, self.padding, self.output_padding)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
+            y = y + bias
+        return y
+
+
+def batch_norm(train: bool, name: str | None = None, axis_name: str | None = None):
+    """Torch-default BatchNorm: momentum 0.1 (flax: 0.9), eps 1e-5.
+
+    ``axis_name`` enables cross-replica (sync) BN inside shard_map/pmap; under
+    plain pjit/GSPMD batch stats are already global.
+    """
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        name=name,
+        axis_name=axis_name,
+    )
+
+
+class BasicConv(nn.Module):
+    """(De)conv + optional BN + optional ReLU
+    (/root/reference/models/submodule.py:89-116).  Conv bias is off (BN
+    absorbs it), matching the reference's bias=False."""
+
+    features: int
+    kernel_size: Any = 3
+    stride: Any = 1
+    padding: Any = 0
+    dims: int = 2
+    deconv: bool = False
+    output_padding: Any = 0
+    use_bn: bool = True
+    relu: bool = True
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.deconv:
+            x = TorchConvTranspose(
+                self.features,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                self.output_padding,
+                dims=self.dims,
+                use_bias=False,
+                name="conv",
+            )(x)
+        else:
+            x = TorchConv(
+                self.features,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                dims=self.dims,
+                groups=self.groups,
+                use_bias=False,
+                name="conv",
+            )(x)
+        if self.use_bn:
+            x = batch_norm(train, name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class ConvBn(nn.Module):
+    """conv + BN, no activation (reference convbn_3d / chal_i blocks)."""
+
+    features: int
+    kernel_size: Any = 3
+    stride: Any = 1
+    padding: Any = 1
+    dims: int = 2
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConv(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            dims=self.dims,
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+        return batch_norm(train, name="bn")(x)
+
+
+class Conv2x(nn.Module):
+    """Stride-2 (de)conv + skip merge + 3x3 conv
+    (/root/reference/models/submodule.py:119-161).
+
+    deconv=True uses kernel 4 stride 2 pad 1 (exact x2 upsample); a bilinear
+    shape-fix aligns to the skip when spatial dims differ.  concat=True with
+    keep_concat doubles the output channels (reference default)."""
+
+    features: int
+    deconv: bool = False
+    dims: int = 2
+    concat: bool = True
+    keep_concat: bool = True
+
+    @nn.compact
+    def __call__(self, x, rem, train: bool = False):
+        kernel = 4 if self.deconv else 3
+        x = BasicConv(
+            self.features,
+            kernel,
+            stride=2,
+            padding=1,
+            dims=self.dims,
+            deconv=self.deconv,
+            name="conv1",
+        )(x, train)
+        if x.shape[1:-1] != rem.shape[1:-1]:
+            assert self.dims == 2, "shape-fix interp only needed for 2-D maps"
+            x = resize_bilinear(x, rem.shape[1:3])
+        if self.concat:
+            x = jnp.concatenate([x, rem], axis=-1)
+            out = self.features * (2 if self.keep_concat else 1)
+        else:
+            x = x + rem
+            out = self.features
+        return BasicConv(out, 3, stride=1, padding=1, dims=self.dims, name="conv2")(
+            x, train
+        )
