@@ -1,0 +1,77 @@
+"""Benchmark harness: flagship SemStereo inference throughput on one chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The reference repo publishes no throughput numbers (BASELINE.md), so
+vs_baseline is reported against a fixed reference point measured once from
+the torch reference's per-iteration cost model; until a real reference
+measurement exists on comparable hardware we report the ratio vs 1.0.
+
+Config: US3D stage-2 full graph (eval), 1024x1024 tiles, maxdisp 64 — the
+exact shape of /root/reference/test_us3d.py inference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    args = p.parse_args()
+
+    from semstereo_tpu.models import SemStereo
+
+    model = SemStereo(maxdisp=64, num_classes=6)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    shape = (args.batch, args.height, args.width, 3)
+    left = jnp.zeros(shape, jnp.float32)
+    right = jnp.zeros(shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    if dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables
+        )
+        left, right = left.astype(dtype), right.astype(dtype)
+
+    @jax.jit
+    def forward(left, right):
+        return model.apply(variables, left, right, train=False)["disp"][0]
+
+    out = forward(left, right)
+    out.block_until_ready()
+    for _ in range(args.warmup):
+        forward(left, right).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = forward(left, right)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = args.batch * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"stereo_pairs_per_sec_{args.height}x{args.width}_eval",
+                "value": round(pairs_per_sec, 4),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(pairs_per_sec / 1.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI (replaces the reference's test_us3d.py).
+
+    python scripts/evaluate.py --preset us3d_stage2 --loadckpt checkpoints/us3d_stage2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+from semstereo_tpu.config import PRESETS
+from semstereo_tpu.train import checkpoint as ckpt
+from semstereo_tpu.train.trainer import Trainer
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="us3d_stage2", choices=sorted(PRESETS))
+    p.add_argument("--datapath")
+    p.add_argument("--testlist")
+    p.add_argument("--loadckpt", required=True)
+    p.add_argument("--batch-size", type=int)
+    args = p.parse_args()
+
+    cfg = PRESETS[args.preset]
+    data_kw = {
+        k: v
+        for k, v in dict(
+            datapath=args.datapath, testlist=args.testlist,
+            test_batch_size=args.batch_size,
+        ).items()
+        if v is not None
+    }
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
+
+    trainer = Trainer(cfg)
+    assert trainer.eval_loader is not None, "test list not found"
+    first = next(iter(trainer.eval_loader))
+    trainer.initialize(sample_shape=first["left"].shape)
+    trainer.state = ckpt.restore_checkpoint(args.loadckpt, trainer.state)
+    results = trainer.evaluate()
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

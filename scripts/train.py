@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Unified training CLI (replaces the reference's main_us3d.py / main_whu.py).
+
+    python scripts/train.py --preset us3d_stage1 --datapath ... --trainlist ...
+    python scripts/train.py --preset us3d_stage2 --loadckpt checkpoints/us3d_stage1
+
+Presets carry the full recipe (model flags, losses, LR schedule); any flag
+given here overrides the preset.  Booleans are real booleans — the
+reference's string-typed flags (SURVEY.md section 2.7 item 1) are gone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from semstereo_tpu.config import PRESETS
+from semstereo_tpu.train.trainer import Trainer
+from semstereo_tpu.utils import TeeLogger
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="us3d_stage2", choices=sorted(PRESETS))
+    p.add_argument("--datapath")
+    p.add_argument("--trainlist")
+    p.add_argument("--testlist")
+    p.add_argument("--logdir")
+    p.add_argument("--loadckpt", help="partial warm-start checkpoint dir")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--lrepochs")
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--maxdisp", type=int)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--num-workers", type=int)
+    p.add_argument("--data-parallel", type=int, default=-1, help="mesh data axis size")
+    p.add_argument("--disp-parallel", type=int, default=1, help="mesh disp axis size")
+    p.add_argument("--tensorboard", action="store_true")
+    args = p.parse_args()
+
+    cfg = PRESETS[args.preset]
+    data_kw = {
+        k: v
+        for k, v in dict(
+            datapath=args.datapath,
+            trainlist=args.trainlist,
+            testlist=args.testlist,
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+        ).items()
+        if v is not None
+    }
+    optim_kw = {
+        k: v
+        for k, v in dict(lr=args.lr, epochs=args.epochs, lrepochs=args.lrepochs).items()
+        if v is not None
+    }
+    model_kw = {k: v for k, v in dict(maxdisp=args.maxdisp).items() if v is not None}
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, **data_kw),
+        optim=dataclasses.replace(cfg.optim, **optim_kw),
+        model=dataclasses.replace(cfg.model, **model_kw),
+        parallel=dataclasses.replace(
+            cfg.parallel, data=args.data_parallel, disp=args.disp_parallel
+        ),
+        **{
+            k: v
+            for k, v in dict(
+                logdir=args.logdir, loadckpt=args.loadckpt, seed=args.seed
+            ).items()
+            if v is not None
+        },
+        resume=args.resume,
+    )
+
+    os.makedirs(cfg.logdir, exist_ok=True)
+    sys.stdout = TeeLogger(os.path.join(cfg.logdir, "log.log"))
+
+    writer = None
+    if args.tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(cfg.logdir)
+
+    print(f"config: {cfg}")
+    Trainer(cfg, writer=writer).train()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,25 @@ class SemStereo(nn.Module):
     topk: int = 24
     refine_topk: int = 2
     cost_volume_impl: str = "xla"
+    # Attention windows at the two hourglass bottlenecks (reference: (4,4,4)
+    # and (6,4,4), SemStereo.py:122,161).  The bottleneck depth D/4 must be a
+    # multiple of the window depth; override for reduced-maxdisp configs.
+    att_window1: tuple[int, int, int] = (4, 4, 4)
+    att_window2: tuple[int, int, int] = (6, 4, 4)
+    # When True, annotate cost volumes with a PartitionSpec sharding their
+    # disparity-plane axis over the mesh's 'disp' axis (tensor parallelism for
+    # the volume pipeline; requires an active jax.sharding.use_mesh context).
+    shard_disp: bool = False
+
+    def _constrain_disp(self, vol):
+        if not self.shard_disp:
+            return vol
+        from jax.sharding import PartitionSpec as P
+
+        from semstereo_tpu.parallel import DATA_AXIS, DISP_AXIS
+
+        spec = P(DATA_AXIS, DISP_AXIS, *([None] * (vol.ndim - 2)))
+        return jax.lax.with_sharding_constraint(vol, spec)
 
     @nn.compact
     def __call__(self, left, right, train: bool = False):
@@ -133,12 +152,13 @@ class SemStereo(nn.Module):
             fl[2], fr2, self.maxdisp // 8, groups,
             symmetric=self.symmetric, impl=self.cost_volume_impl,
         )  # [B, D8, H8, W8, G]
+        corr = self._constrain_disp(corr)
         corr = TorchConv(
             groups, (1, 3, 3), padding=(0, 1, 1), dims=3, groups=groups,
             use_bias=False, name="patch",
         )(corr)
         cost_att = ChannelAtt(groups, name="corr_feature_att_8")(corr, fl[2], train)
-        cost_att = Hourglass3D(32, (4, 4, 4), name="hourglass_att")(cost_att, train)
+        cost_att = Hourglass3D(32, self.att_window1, name="hourglass_att")(cost_att, train)
         cost_att = Classifier3D(32, name="classif_att")(cost_att, train)
 
         d4 = self.maxdisp // 4 * (2 if self.symmetric else 1)
@@ -179,13 +199,14 @@ class SemStereo(nn.Module):
             concat_volume = jnp.concatenate([tiled_lc, warped_rc], axis=-1)
 
             volume = att_topk[..., None] * concat_volume
+            volume = self._constrain_disp(volume)
             volume = BasicConv(CHANS2[1] // 4, 3, 1, 1, dims=3, name="concat_stem")(
                 volume, train
             )
             volume = ChannelAtt(CHANS2[1] // 4, name="concat_feature_att_4")(
                 volume, fl[1], train
             )
-            cost = Hourglass3D(32, (6, 4, 4), name="hourglass")(volume, train)
+            cost = Hourglass3D(32, self.att_window2, name="hourglass")(volume, train)
             cost = Classifier3D(32, name="classif")(cost, train)[..., 0]
             pred = regression_topk(cost, samples, self.refine_topk)
             pred_up = ssr(pred[..., None], spx_pred, pred_label, train)

@@ -1,0 +1,90 @@
+"""Train state: params + BN batch stats + Adam optimizer state.
+
+Replaces the reference's Adam + per-epoch piecewise LR decay
+(/root/reference/main_us3d.py:102,131 and utils/experiment.py:102-120).  The
+learning rate lives in ``optax.inject_hyperparams`` state so the trainer can
+set the reference's epoch-indexed schedule without retracing the step.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from semstereo_tpu.config import TrainConfig, lr_for_epoch
+from semstereo_tpu.models import __models__
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    epoch: int = 0
+
+
+def build_model(cfg: TrainConfig):
+    model_cls = __models__[cfg.model.name]
+    return model_cls(
+        maxdisp=cfg.model.maxdisp,
+        num_classes=cfg.model.num_classes,
+        att_weights_only=cfg.model.att_weights_only,
+        seg_if=cfg.model.seg_if,
+        stereo_if=cfg.model.stereo_if,
+        topk=cfg.model.topk,
+        refine_topk=cfg.model.refine_topk,
+        cost_volume_impl=cfg.model.cost_volume_impl,
+        att_window1=cfg.model.att_window1,
+        att_window2=cfg.model.att_window2,
+    )
+
+
+def build_optimizer(cfg: TrainConfig):
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=cfg.optim.lr, b1=cfg.optim.betas[0], b2=cfg.optim.betas[1]
+    )
+
+
+def init_state(cfg: TrainConfig, sample_shape: tuple[int, int, int, int]) -> TrainState:
+    """Initialize params/batch_stats with a dummy batch of `sample_shape`
+    (B, H, W, C) and a fresh optimizer state."""
+    model = build_model(cfg)
+    dummy = jnp.zeros(sample_shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.seed), dummy, dummy, train=False)
+    tx = build_optimizer(cfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        epoch=0,
+    )
+
+
+def set_learning_rate(state: TrainState, cfg: TrainConfig, epoch: int) -> TrainState:
+    """Apply the reference's epoch-indexed piecewise-constant decay."""
+    lr = lr_for_epoch(cfg.optim.lr, epoch, cfg.optim.lrepochs)
+    hyper = dict(state.opt_state.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=state.opt_state._replace(hyperparams=hyper))
+
+
+def merge_partial_params(current, loaded):
+    """Filtered partial load: keep loaded leaves whose path+shape match the
+    current tree (reference stage-1 -> stage-2 warm start,
+    /root/reference/main_us3d.py:116-123)."""
+    cur_flat, treedef = jax.tree_util.tree_flatten_with_path(current)
+    loaded_flat = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    merged = []
+    n_loaded = 0
+    for path, leaf in cur_flat:
+        cand = loaded_flat.get(path)
+        if cand is not None and tuple(cand.shape) == tuple(leaf.shape):
+            merged.append(jnp.asarray(cand, leaf.dtype))
+            n_loaded += 1
+        else:
+            merged.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, merged), n_loaded

@@ -1,0 +1,164 @@
+"""Jitted train / eval steps: loss assembly per recipe, gradient update,
+on-device metrics.
+
+One ``train_step = jit(grad + adam update)`` replaces the reference's
+train_sample functions (/root/reference/main_us3d.py:186-222 incl. the
+seg+LRSC recipe, main_whu.py:185-215 stereo-only).  Under a sharded batch
+the gradient mean over devices is inserted by XLA (GSPMD) — the TPU-native
+equivalent of DataParallel's gather + NCCL allreduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from semstereo_tpu import losses, metrics
+from semstereo_tpu.config import TrainConfig
+from semstereo_tpu.train.state import TrainState, build_model, build_optimizer
+
+
+def valid_mask(gt, maxdisp: int, symmetric: bool):
+    """US3D: -maxdisp <= d < maxdisp (reference main_us3d.py:199-200);
+    WHU: 0 < d < maxdisp (main_whu.py:198)."""
+    if symmetric:
+        return (gt < maxdisp) & (gt >= -maxdisp)
+    return (gt < maxdisp) & (gt > 0)
+
+
+def _display_gt(gt):
+    """Zero the large-negative invalid sentinel before metric display
+    (reference main_us3d.py:210)."""
+    return jnp.where(gt < -871.0, 0.0, gt)
+
+
+def assemble_train_loss(cfg: TrainConfig, out, batch):
+    model_cfg, loss_cfg = cfg.model, cfg.loss
+    gt = batch["disparity"]
+    gt4 = batch["disparity_4"]
+    mask = valid_mask(gt, model_cfg.maxdisp, model_cfg.symmetric)
+    mask4 = valid_mask(gt4, model_cfg.maxdisp, model_cfg.symmetric)
+
+    disp_ests = out["disp"]
+    n = len(disp_ests)
+    gts = [gt, gt4, gt, gt4][:n]
+    masks = [mask, mask4, mask, mask4][:n]
+    weights = losses.DISP_WEIGHTS_FULL[:n]
+    disp_loss = losses.disp_loss_train(
+        disp_ests, gts, [m.astype(jnp.float32) for m in masks], weights
+    )
+
+    total = disp_loss
+    aux = {"disp_loss": disp_loss}
+    if loss_cfg.use_seg:
+        seg = losses.label_loss(
+            out["label_l"], batch["label"], model_cfg.num_classes,
+            model_cfg.att_weights_only, loss_cfg.ignore_index,
+        )
+        total = total + seg
+        aux["label_loss"] = seg
+    if loss_cfg.use_lrsc:
+        lr_loss = losses.lrsc_loss(out["label_r"], disp_ests[0], batch["label"])
+        total = total + lr_loss
+        aux["lrsc_loss"] = lr_loss
+    elif loss_cfg.use_lrsc_self:
+        pseudo = jnp.argmax(jax.lax.stop_gradient(out["label_l"]), axis=-1).astype(
+            jnp.float32
+        )
+        lr_loss = losses.lrsc_loss(out["label_r"], disp_ests[0], pseudo)
+        total = total + lr_loss
+        aux["lrsc_loss"] = lr_loss
+    aux["loss"] = total
+    return total, aux, mask
+
+
+def make_train_step(cfg: TrainConfig):
+    """Returns train_step(state, batch) -> (state, scalars)."""
+    model = build_model(cfg)
+    tx = build_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, batch):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["left"],
+            batch["right"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, aux, mask = assemble_train_loss(cfg, out, batch)
+        return total, (mut["batch_stats"], aux, out, mask)
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        grads, (new_bs, aux, out, mask) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gt = _display_gt(batch["disparity"])
+        est = out["disp"][0]
+        scalars = dict(
+            aux,
+            EPE=metrics.epe_metric(est, gt, mask),
+            D1=metrics.d1_metric(est, gt, mask),
+            Thres1=metrics.thres_metric(est, gt, mask, 1.0),
+            Thres2=metrics.thres_metric(est, gt, mask, 2.0),
+            Thres3=metrics.thres_metric(est, gt, mask, 3.0),
+        )
+        return (
+            state.replace(params=new_params, batch_stats=new_bs, opt_state=new_opt),
+            scalars,
+        )
+
+    return train_step
+
+
+def make_eval_step(cfg: TrainConfig):
+    """Returns eval_step(state, batch) -> scalars dict (+ confusion matrix
+    under key 'confusion' when segmentation is on)."""
+    model = build_model(cfg)
+    model_cfg = cfg.model
+    seg_on = model_cfg.seg_if
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["left"],
+            batch["right"],
+            train=False,
+        )
+        gt = batch["disparity"]
+        mask = valid_mask(gt, model_cfg.maxdisp, model_cfg.symmetric)
+        scalars: dict[str, Any] = {}
+        if "disp" in out:
+            est = out["disp"][0]
+            scalars["disp_loss"] = losses.disp_loss_eval(
+                est, gt, mask.astype(jnp.float32)
+            )
+            gtd = _display_gt(gt)
+            scalars.update(
+                EPE=metrics.epe_metric(est, gtd, mask),
+                D1=metrics.d1_metric(est, gtd, mask),
+                Thres1=metrics.thres_metric(est, gtd, mask, 1.0),
+                Thres2=metrics.thres_metric(est, gtd, mask, 2.0),
+                Thres3=metrics.thres_metric(est, gtd, mask, 3.0),
+            )
+            scalars["disp_est"] = est
+        if seg_on and "label" in batch:
+            scalars["label_loss"] = losses.label_loss(
+                out["label_l"], batch["label"], model_cfg.num_classes,
+                model_cfg.att_weights_only, cfg.loss.ignore_index,
+            )
+            scalars["confusion"] = metrics.confusion_matrix(
+                out["label_l"], batch["label"], model_cfg.num_classes - 1
+            )
+        if "disp" in out:
+            scalars["loss"] = scalars["disp_loss"] + scalars.get("label_loss", 0.0)
+        return scalars
+
+    return eval_step

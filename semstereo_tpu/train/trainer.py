@@ -1,0 +1,168 @@
+"""Trainer: epoch loop, LR schedule, eval with meters, checkpoints, TB logs.
+
+Replaces the reference train()/test() loops (/root/reference/main_us3d.py:128-182,
+test_us3d.py:66-128) with a single driver over the jitted steps.  Batches are
+device_put with a batch-axis sharding over the mesh's ``data`` axis, so the
+same code runs 1-chip, 1-host-N-chip and multi-host.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from semstereo_tpu.config import TrainConfig
+from semstereo_tpu.data import DataLoader, __datasets__
+from semstereo_tpu.metrics import SegmentationMeter
+from semstereo_tpu.parallel import make_mesh, shard_batch
+from semstereo_tpu.train import checkpoint as ckpt
+from semstereo_tpu.train.state import (
+    TrainState,
+    init_state,
+    set_learning_rate,
+)
+from semstereo_tpu.train.steps import make_eval_step, make_train_step
+from semstereo_tpu.utils import (
+    AverageMeterDict,
+    AverageMeterDictPerKey,
+    save_scalars,
+    tensor2float,
+)
+
+# Keys the jitted steps consume (everything else in a sample is metadata).
+_TRAIN_KEYS = ("left", "right", "disparity", "disparity_4", "label")
+_EVAL_KEYS = ("left", "right", "disparity", "label")
+
+
+def _device_batch(mesh, batch, keys):
+    sub = {k: batch[k] for k in keys if k in batch}
+    return shard_batch(mesh, sub)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        train_dataset=None,
+        eval_dataset=None,
+        writer=None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.parallel.data, cfg.parallel.disp)
+        self.writer = writer
+        pidx, pcnt = jax.process_index(), jax.process_count()
+
+        if train_dataset is None and cfg.data.trainlist and os.path.exists(cfg.data.trainlist):
+            ds_cls = __datasets__[cfg.data.dataset]
+            train_dataset = ds_cls(cfg.data.datapath, cfg.data.trainlist, True)
+        if eval_dataset is None and cfg.data.testlist and os.path.exists(cfg.data.testlist):
+            ds_cls = __datasets__[cfg.data.dataset]
+            eval_dataset = ds_cls(cfg.data.datapath, cfg.data.testlist, False)
+
+        self.train_loader = (
+            DataLoader(
+                train_dataset, cfg.data.batch_size, shuffle=True,
+                num_workers=cfg.data.num_workers, drop_last=True, seed=cfg.seed,
+                shard=(pidx, pcnt), prefetch=cfg.data.prefetch,
+            )
+            if train_dataset is not None
+            else None
+        )
+        self.eval_loader = (
+            DataLoader(
+                eval_dataset, cfg.data.test_batch_size, shuffle=False,
+                num_workers=cfg.data.num_workers, drop_last=False, seed=cfg.seed,
+                shard=(pidx, pcnt), prefetch=cfg.data.prefetch,
+            )
+            if eval_dataset is not None
+            else None
+        )
+
+        self.train_step = make_train_step(cfg)
+        self.eval_step = make_eval_step(cfg)
+        self.state: Optional[TrainState] = None
+
+    # -- state management ---------------------------------------------------
+    def initialize(self, sample_shape=None) -> TrainState:
+        if sample_shape is None:
+            assert self.train_loader is not None
+            first = next(iter(self.train_loader))
+            sample_shape = first["left"].shape
+        self.state = init_state(self.cfg, tuple(sample_shape))
+        cfg = self.cfg
+        if cfg.resume and ckpt.latest_epoch(cfg.logdir) is not None:
+            self.state = ckpt.restore_checkpoint(cfg.logdir, self.state)
+            print(f"resumed from {cfg.logdir} at epoch {self.state.epoch}")
+        elif cfg.loadckpt:
+            self.state, n = ckpt.restore_partial(cfg.loadckpt, self.state)
+            print(f"partially loaded {n} tensors from {cfg.loadckpt}")
+        return self.state
+
+    # -- loops --------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        if self.state is None:
+            self.initialize()
+        os.makedirs(cfg.logdir, exist_ok=True)
+        for epoch in range(int(self.state.epoch), cfg.optim.epochs):
+            self.state = set_learning_rate(self.state, cfg, epoch)
+            self.train_loader.set_epoch(epoch)
+            for it, batch in enumerate(self.train_loader):
+                t0 = time.time()
+                dev_batch = _device_batch(self.mesh, batch, _TRAIN_KEYS)
+                self.state, scalars = self.train_step(self.state, dev_batch)
+                step = epoch * len(self.train_loader) + it
+                scalars = tensor2float(
+                    {k: v for k, v in scalars.items() if np.ndim(v) == 0}
+                )
+                if self.writer and step % (cfg.summary_freq * 1000) == 0:
+                    save_scalars(self.writer, "train", scalars, step)
+                print(
+                    f"Epoch {epoch}/{cfg.optim.epochs}, Iter {it}/{len(self.train_loader)}, "
+                    f"loss = {scalars['loss']:.3f}, disp = {scalars['disp_loss']:.3f}, "
+                    f"time = {time.time() - t0:.3f}"
+                )
+            if (epoch + 1) % cfg.save_freq == 0 and jax.process_index() == 0:
+                ckpt.save_checkpoint(cfg.logdir, self.state, epoch)
+            self.state = self.state.replace(epoch=epoch + 1)
+            if self.eval_loader is not None:
+                self.evaluate(epoch)
+        return self.state
+
+    def evaluate(self, epoch: int = 0) -> dict:
+        cfg = self.cfg
+        meters = AverageMeterDict()
+        seg_meter = SegmentationMeter(cfg.model.num_classes - 1)
+        for batch in self.eval_loader:
+            dev_batch = _device_batch(self.mesh, batch, _EVAL_KEYS)
+            scalars = self.eval_step(self.state, dev_batch)
+            cm = scalars.pop("confusion", None)
+            scalars.pop("disp_est", None)
+            if cm is not None:
+                seg_meter.add_confusion(cm)
+            meters.update(tensor2float(scalars))
+        results = meters.mean()
+        if seg_meter.cm.sum() > 0:
+            results.update(
+                PA=seg_meter.pixel_accuracy(),
+                MPA=seg_meter.mean_pixel_accuracy(),
+                mIoU=seg_meter.mean_iou(),
+            )
+            per_key = AverageMeterDictPerKey()
+            cpa, iou = seg_meter.class_pixel_accuracy(), seg_meter.iou()
+            per_key.update(
+                {
+                    **{f"CPA{i}": float(cpa[i]) for i in range(len(cpa))},
+                    **{f"IoU{i}": float(iou[i]) for i in range(len(iou))},
+                }
+            )
+            results.update(per_key.mean())
+        if self.writer:
+            save_scalars(self.writer, "fulltest", results, epoch)
+        print("avg_test_scalars", results)
+        return results

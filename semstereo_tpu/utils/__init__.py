@@ -1,0 +1,26 @@
+"""Experiment utilities: meters, TB writers, visualization, logging."""
+
+from semstereo_tpu.utils.experiment import (
+    AverageMeter,
+    AverageMeterDict,
+    AverageMeterDictPerKey,
+    TeeLogger,
+    save_images,
+    save_scalars,
+    tensor2float,
+    tensor2numpy,
+)
+from semstereo_tpu.utils.visualization import disp_error_image, label_vis
+
+__all__ = [
+    "AverageMeter",
+    "AverageMeterDict",
+    "AverageMeterDictPerKey",
+    "TeeLogger",
+    "save_images",
+    "save_scalars",
+    "tensor2float",
+    "tensor2numpy",
+    "disp_error_image",
+    "label_vis",
+]

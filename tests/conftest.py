@@ -1,15 +1,23 @@
 """Test configuration: force an 8-device virtual CPU mesh so sharding and
-collective paths are exercised without TPU hardware (SURVEY.md section 4 item 4)."""
+collective paths are exercised without TPU hardware (SURVEY.md section 4 item 4).
+
+Note: the environment's sitecustomize imports jax at interpreter startup (the
+axon TPU plugin), so setting JAX_PLATFORMS here is too late — instead we use
+jax.config before any backend is initialized, which conftest import order
+guarantees.
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

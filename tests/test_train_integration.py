@@ -1,0 +1,134 @@
+"""Integration: tiny-config training on synthetic stereo pairs — loss
+decreases, checkpoint save/restore roundtrips, stage-1 -> stage-2 partial
+restore works, and the 8-device data-parallel step matches single-device
+(SURVEY.md section 4 items 4-5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from semstereo_tpu.config import (
+    DataConfig,
+    LossConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+    lr_for_epoch,
+)
+from semstereo_tpu.data import DataLoader, SyntheticStereoDataset
+from semstereo_tpu.parallel import make_mesh, shard_batch
+from semstereo_tpu.train import checkpoint as ckpt
+from semstereo_tpu.train import init_state, make_eval_step, make_train_step, set_learning_rate
+
+TINY_MODEL = ModelConfig(
+    maxdisp=16, topk=4, att_window1=(1, 2, 2), att_window2=(1, 2, 2)
+)
+TINY = TrainConfig(
+    model=TINY_MODEL,
+    data=DataConfig(batch_size=2),
+    optim=OptimConfig(lr=1e-3),
+    loss=LossConfig(use_seg=True, use_lrsc=True),
+)
+H = W = 32
+
+
+def make_batch(bs=2):
+    ds = SyntheticStereoDataset(bs, H, W, maxdisp=16, training=True)
+    loader = DataLoader(ds, bs, shuffle=False, num_workers=1)
+    return next(iter(loader))
+
+
+def to_dev(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    return init_state(TINY, (2, H, W, 3))
+
+
+def test_loss_decreases(tiny_state):
+    step = make_train_step(TINY)
+    state = tiny_state
+    batch = to_dev(make_batch())
+    losses = []
+    for _ in range(8):
+        state, scalars = step(state, batch)
+        losses.append(float(scalars["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_eval_step_runs(tiny_state):
+    eval_step = make_eval_step(TINY)
+    batch = to_dev(make_batch())
+    scalars = eval_step(tiny_state, batch)
+    for k in ("loss", "disp_loss", "EPE", "D1", "Thres1"):
+        assert np.isfinite(float(scalars[k])), k
+    assert scalars["confusion"].shape == (5, 5)
+
+
+def test_lr_schedule_parsing():
+    assert lr_for_epoch(1e-3, 0, "12,22:2") == 1e-3
+    assert lr_for_epoch(1e-3, 12, "12,22:2") == 5e-4
+    assert lr_for_epoch(1e-3, 30, "12,22:2") == 2.5e-4
+
+
+def test_set_learning_rate(tiny_state):
+    state = set_learning_rate(tiny_state, TINY, epoch=22)
+    assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(
+        1e-3 / 4
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_state):
+    logdir = str(tmp_path / "ckpt")
+    ckpt.save_checkpoint(logdir, tiny_state, epoch=3)
+    assert ckpt.latest_epoch(logdir) == 3
+    blank = init_state(TINY.replace(seed=99), (2, H, W, 3))
+    restored = ckpt.restore_checkpoint(logdir, blank)
+    assert restored.epoch == 4
+    p0 = jax.tree_util.tree_leaves(tiny_state.params)
+    p1 = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(p0, p1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage1_to_stage2_partial_restore(tmp_path):
+    stage1 = TINY.replace(model=TINY_MODEL.__class__(**{**TINY_MODEL.__dict__, "att_weights_only": True}))
+    s1 = init_state(stage1, (2, H, W, 3))
+    logdir = str(tmp_path / "stage1")
+    ckpt.save_checkpoint(logdir, s1, epoch=47)
+    s2 = init_state(TINY, (2, H, W, 3))
+    merged, n = ckpt.restore_partial(logdir, s2)
+    assert n > 0
+    # a stage-1 param must now equal the checkpointed value
+    a = np.asarray(s1.params["feature"]["stem"]["conv"]["kernel"])
+    b = np.asarray(merged.params["feature"]["stem"]["conv"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+    # stage-2-only params (refinement hourglass) must remain from fresh init
+    assert "hourglass" in merged.params
+
+
+def test_data_parallel_matches_single_device(tiny_state):
+    """Batch sharded over the 8-device CPU mesh must produce the same loss
+    and updated params as unsharded execution."""
+    assert jax.device_count() >= 8
+    step = make_train_step(TINY)
+    batch8 = to_dev(make_batch(bs=8))
+
+    _, scal_single = step(tiny_state, batch8)
+
+    mesh = make_mesh()
+    sharded = shard_batch(mesh, batch8)
+    state_new, scal_sharded = step(tiny_state, sharded)
+
+    np.testing.assert_allclose(
+        float(scal_single["loss"]), float(scal_sharded["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(scal_single["EPE"]), float(scal_sharded["EPE"]), rtol=2e-4
+    )
