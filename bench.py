@@ -20,6 +20,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: first-ever compile of the 1024x1024 graph is
+# expensive through remote-compile tunnels; subsequent bench runs are instant.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     p = argparse.ArgumentParser()

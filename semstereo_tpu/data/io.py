@@ -28,7 +28,15 @@ def load_image_rgb(path: str) -> np.ndarray:
 
 
 def normalize_image(img: np.ndarray) -> np.ndarray:
-    """uint8 [H,W,3] -> ImageNet-normalized float32 [H,W,3] (channels-last)."""
+    """uint8 [H,W,3] -> ImageNet-normalized float32 [H,W,3] (channels-last).
+
+    Uses the native C++ kernel (data/native.py) when available; numpy
+    fallback otherwise."""
+    from semstereo_tpu.data import native
+
+    out = native.normalize_image(np.ascontiguousarray(img), IMAGENET_MEAN, IMAGENET_STD)
+    if out is not None:
+        return out
     x = img.astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 

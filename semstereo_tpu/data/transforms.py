@@ -97,5 +97,13 @@ def random_vdisp(right: np.ndarray, angle: float, px: float, rng: np.random.Gene
 
 
 def gt_pyramid(arr: np.ndarray, factors=(4, 8, 16)) -> dict[int, np.ndarray]:
-    """Nearest-downsampled ground-truth pyramid (reference us3d_.py:178-182)."""
-    return {f: np.ascontiguousarray(arr[::f, ::f]) for f in factors}
+    """Nearest-downsampled ground-truth pyramid (reference us3d_.py:178-182).
+    Native C++ kernel when available, strided numpy otherwise."""
+    from semstereo_tpu.data import native
+
+    arr = np.ascontiguousarray(arr, np.float32)
+    out = {}
+    for f in factors:
+        d = native.downsample_nearest(arr, f)
+        out[f] = d if d is not None else np.ascontiguousarray(arr[::f, ::f])
+    return out

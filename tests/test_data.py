@@ -1,0 +1,199 @@
+"""Data layer: readers, datasets (synthetic files on disk), augmentation,
+loader collation and host sharding."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from semstereo_tpu.data import (
+    DataLoader,
+    SceneFlowDataset,
+    SyntheticStereoDataset,
+    Us3dDataset,
+    WhuDataset,
+    __datasets__,
+    collate,
+)
+from semstereo_tpu.data import io
+from semstereo_tpu.data import transforms as T
+
+
+def write_pfm(path, data):
+    """Minimal PF writer (little-endian, grayscale) for reader tests."""
+    h, w = data.shape
+    with open(path, "wb") as f:
+        f.write(b"Pf\n")
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")
+        np.flipud(data).astype("<f4").tofile(f)
+
+
+@pytest.fixture
+def us3d_root(tmp_path, rng):
+    root = tmp_path / "us3d"
+    root.mkdir()
+    rows = []
+    for i in range(3):
+        left = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        right = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        disp = rng.uniform(-20, 20, (32, 32)).astype(np.float32)
+        label = rng.integers(0, 6, (32, 32)).astype(np.uint8)
+        Image.fromarray(left).save(root / f"l{i}.png")
+        Image.fromarray(right).save(root / f"r{i}.png")
+        Image.fromarray(disp, mode="F").save(root / f"d{i}.tif")
+        Image.fromarray(label).save(root / f"s{i}.png")
+        rows.append(f"l{i}.png r{i}.png d{i}.tif s{i}.png")
+    (root / "list.txt").write_text("\n".join(rows) + "\n")
+    return str(root)
+
+
+def test_pfm_roundtrip(tmp_path, rng):
+    data = rng.standard_normal((8, 12)).astype(np.float32)
+    p = str(tmp_path / "x.pfm")
+    write_pfm(p, data)
+    out, scale = io.pfm_imread(p)
+    np.testing.assert_allclose(out, data)
+    assert scale == 1.0
+
+
+def test_normalize_image_imagenet_stats(rng):
+    """ToTensor (x/255) + Normalize(mean, std) — reference data_io.py:6-13."""
+    img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    ref = (img.astype(np.float32) / 255.0 - mean) / std
+    out = io.normalize_image(img)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_us3d_train_sample(us3d_root):
+    ds = Us3dDataset(us3d_root, os.path.join(us3d_root, "list.txt"), training=True)
+    assert len(ds) == 3
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["left"].shape == (32, 32, 3)
+    assert s["disparity"].shape == (32, 32)
+    assert s["disparity_4"].shape == (8, 8)
+    assert s["disparity_8"].shape == (4, 4)
+    assert s["label_2"].shape == (16, 16)
+    # nearest pyramid picks strided samples
+    np.testing.assert_array_equal(s["disparity_4"], s["disparity"][::4, ::4])
+
+
+def test_us3d_eval_sample(us3d_root):
+    ds = Us3dDataset(us3d_root, os.path.join(us3d_root, "list.txt"), training=False)
+    s = ds.get(1, np.random.default_rng(0))
+    assert s["top_pad"] == 0 and s["right_pad"] == 0
+    assert s["left_filename"] == "l1.png"
+
+
+def test_whu_dataset(tmp_path, rng):
+    root = tmp_path / "whu"
+    root.mkdir()
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    disp16 = (rng.uniform(0, 100, (32, 32)) * 256).astype(np.uint16)
+    Image.fromarray(img).save(root / "l.png")
+    Image.fromarray(img).save(root / "r.png")
+    Image.fromarray(disp16).save(root / "d.png")
+    (root / "list.txt").write_text("l.png r.png d.png\n")
+    ds = WhuDataset(str(root), str(root / "list.txt"), training=True)
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["disparity"].max() <= 256.0
+    np.testing.assert_allclose(s["disparity"], disp16.astype(np.float32) / 256.0)
+
+
+def test_sceneflow_train_crop_and_eval_crop(tmp_path, rng):
+    root = tmp_path / "sf"
+    root.mkdir()
+    img = rng.integers(0, 255, (540, 960, 3)).astype(np.uint8)
+    disp = rng.uniform(0, 50, (540, 960)).astype(np.float32)
+    Image.fromarray(img).save(root / "l.png")
+    Image.fromarray(img).save(root / "r.png")
+    write_pfm(str(root / "d.pfm"), disp)
+    (root / "list.txt").write_text("l.png r.png d.pfm\n")
+
+    tr = SceneFlowDataset(str(root), str(root / "list.txt"), training=True)
+    s = tr.get(0, np.random.default_rng(0))
+    assert s["left"].shape == (256, 512, 3)
+    assert s["disparity"].shape == (256, 512)
+    assert s["disparity_4"].shape == (64, 128)
+
+    ev = SceneFlowDataset(str(root), str(root / "list.txt"), training=False)
+    s = ev.get(0, np.random.default_rng(0))
+    assert s["left"].shape == (512, 960, 3)
+
+
+def test_registry_keys():
+    assert set(__datasets__) >= {"sceneflow", "kitti", "us3d", "cityscapes", "WhuDataset", "whu"}
+
+
+def test_photometric_jitter_changes_image(rng):
+    img = rng.integers(30, 220, (16, 16, 3)).astype(np.uint8)
+    out = T.photometric_jitter(img, np.random.default_rng(1))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, img)
+
+
+def test_random_occlusion_deterministic_seed(rng):
+    img = rng.integers(0, 255, (128, 256, 3)).astype(np.uint8)
+    a = T.random_occlusion(img, np.random.default_rng(5))
+    b = T.random_occlusion(img, np.random.default_rng(5))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_loader_collate_and_len():
+    ds = SyntheticStereoDataset(10, 16, 16, maxdisp=8)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, drop_last=True, seed=0)
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["left"].shape == (4, 16, 16, 3)
+    assert batches[0]["disparity_4"].shape == (4, 4, 4)
+
+
+def test_loader_host_sharding_partitions_indices():
+    ds = SyntheticStereoDataset(8, 8, 8, maxdisp=8)
+    seen = []
+    for shard in range(2):
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=False, num_workers=1, shard=(shard, 2)
+        )
+        for b in loader:
+            seen.append(b["disparity"][:, 0, 0])
+    vals = sorted(np.concatenate(seen).tolist())
+    # together the two shards cover all 8 samples exactly once
+    all_vals = sorted(
+        float(ds.get(i, np.random.default_rng())["disparity"][0, 0]) for i in range(8)
+    )
+    assert vals == all_vals
+
+
+def test_loader_epoch_reshuffles():
+    ds = SyntheticStereoDataset(16, 8, 8, maxdisp=8)
+    loader = DataLoader(ds, batch_size=16, shuffle=True, num_workers=1, seed=3)
+    loader.set_epoch(0)
+    a = next(iter(loader))["disparity"][:, 0, 0]
+    loader.set_epoch(1)
+    b = next(iter(loader))["disparity"][:, 0, 0]
+    assert not np.array_equal(a, b)
+    assert sorted(a.tolist()) == sorted(b.tolist())
+
+
+def test_native_sampleprep_matches_numpy(rng):
+    from semstereo_tpu.data import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    img = rng.integers(0, 255, (64, 48, 3)).astype(np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    out = native.normalize_image(img, mean, std)
+    ref = (img.astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    arr = rng.standard_normal((32, 40)).astype(np.float32)
+    d = native.downsample_nearest(arr, 4)
+    np.testing.assert_array_equal(d, arr[::4, ::4])
