@@ -28,6 +28,7 @@ class ModelConfig:
     cost_volume_impl: str = "xla"  # xla | pallas
     att_window1: Tuple[int, int, int] = (4, 4, 4)
     att_window2: Tuple[int, int, int] = (6, 4, 4)
+    shard_disp: bool = False  # shard cost-volume disparity planes over mesh 'disp'
 
     @property
     def symmetric(self) -> bool:

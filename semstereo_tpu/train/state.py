@@ -40,6 +40,7 @@ def build_model(cfg: TrainConfig):
         cost_volume_impl=cfg.model.cost_volume_impl,
         att_window1=cfg.model.att_window1,
         att_window2=cfg.model.att_window2,
+        shard_disp=cfg.model.shard_disp,
     )
 
 
