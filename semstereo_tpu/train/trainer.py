@@ -53,7 +53,16 @@ class Trainer:
         mesh=None,
     ):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.parallel.data, cfg.parallel.disp)
+        if mesh is None:
+            import math
+
+            data = cfg.parallel.data
+            if data == -1:
+                # auto: the per-host batch must divide the data axis
+                n_avail = len(jax.devices()) // cfg.parallel.disp
+                data = math.gcd(n_avail, cfg.data.batch_size)
+            mesh = make_mesh(data, cfg.parallel.disp)
+        self.mesh = mesh
         self.writer = writer
         pidx, pcnt = jax.process_index(), jax.process_count()
 
