@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Per-kernel roofline microbenchmarks: cost-volume build and 3-D hourglass
+convolutions at the flagship US3D shapes.
+
+Reports achieved FLOP/s and bytes/s against the chip's speed-of-light
+(defaults: TPU v5e — 394 bf16 TFLOP/s, 197 f32 TFLOP/s MXU, 819 GB/s HBM)
+and the %roofline for each op, classifying each as compute- or
+bandwidth-bound by its arithmetic intensity.
+
+Usage:  python benchmarks/roofline.py [--batch 1] [--iters 20]
+Prints one JSON line per kernel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# TPU v5e speed-of-light
+PEAK_BF16_FLOPS = 394e12
+PEAK_F32_FLOPS = 197e12
+PEAK_HBM_BPS = 819e9
+
+
+def timed(fn, *args, iters=20, warmup=1):
+    """Per-iteration device time of fn(*args).
+
+    All iterations run inside ONE jitted lax.scan with optimization_barrier
+    chaining, so the measurement is a single dispatch — immune to host
+    dispatch overhead and to any relay-level caching of identical
+    executions (naive re-dispatch loops measured >peak FLOPs here).
+    """
+
+    def make(n):
+        @jax.jit
+        def run(args):
+            def body(carry, _):
+                out = fn(*carry)
+                carry = jax.lax.optimization_barrier((*carry, out))[:-1]
+                return carry, ()
+            carry, _ = jax.lax.scan(body, args, None, length=n)
+            return carry
+
+        return run
+
+    run = make(iters)
+    jax.block_until_ready(run(args))  # compile + warm
+    for _ in range(warmup):
+        jax.block_until_ready(run(args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(args))
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, seconds, flops, bytes_moved, dtype):
+    peak = PEAK_BF16_FLOPS if dtype == jnp.bfloat16 else PEAK_F32_FLOPS
+    ai = flops / max(bytes_moved, 1)
+    ridge = peak / PEAK_HBM_BPS
+    bound = "compute" if ai >= ridge else "bandwidth"
+    sol = flops / peak if bound == "compute" else bytes_moved / PEAK_HBM_BPS
+    print(
+        json.dumps(
+            {
+                "kernel": name,
+                "ms": round(seconds * 1e3, 4),
+                "tflops_achieved": round(flops / seconds / 1e12, 3),
+                "gbps_achieved": round(bytes_moved / seconds / 1e9, 2),
+                "arith_intensity": round(ai, 2),
+                "bound": bound,
+                "pct_roofline": round(100 * sol / seconds, 1),
+            }
+        )
+    )
+
+
+def bench_cost_volume(batch, iters, dtype):
+    """GWC-norm volume at the US3D /8 shape: [B,128,128,256], D=16, G=32."""
+    from semstereo_tpu.ops.cost_volume import gwc_volume_norm_xla
+    from semstereo_tpu.ops.pallas.cost_volume_kernel import gwc_volume_norm_pallas
+
+    b, h, w, c, d, g = batch, 128, 128, 256, 16, 32
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype)
+    right = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype)
+
+    flops = 2 * b * h * w * c * (d + 4)  # corr over D shifts + normalization
+    bytes_io = (2 * b * h * w * c + b * d * h * w * g) * left.dtype.itemsize
+
+    for name, impl in [
+        ("cost_volume_xla", functools.partial(gwc_volume_norm_xla, max_shift=8, num_groups=32)),
+        ("cost_volume_pallas", functools.partial(gwc_volume_norm_pallas, max_shift=8, num_groups=32)),
+    ]:
+        fn = jax.jit(lambda l, r, impl=impl: impl(l, r))
+        t = timed(fn, left, right, iters=iters)
+        report(name, t, flops, bytes_io, dtype)
+
+
+def bench_hourglass(batch, iters, dtype):
+    """Stage-2 hourglass2 at [B,24,256,256,32] — the FLOPs hot spot."""
+    from semstereo_tpu.nn.hourglass import Hourglass3D
+
+    b, d, h, w, c = batch, 24, 256, 256, 32
+    model = Hourglass3D(32, (6, 4, 4))
+    x = jnp.zeros((b, d, h, w, c), dtype)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    if dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda v: v.astype(dtype) if v.dtype == jnp.float32 else v, variables
+        )
+
+    fn = jax.jit(lambda x: model.apply(variables, x))
+    t = timed(fn, x, iters=iters)
+
+    # conv FLOPs: 2 * out_elems * K^3 * Cin per conv layer
+    def conv_flops(dd, hh, ww, cin, cout, k=27):
+        return 2 * b * dd * hh * ww * cout * k * cin
+
+    flops = (
+        conv_flops(d // 2, h // 2, w // 2, c, c * 2)        # conv1 s2
+        + conv_flops(d // 2, h // 2, w // 2, c * 2, c * 2)  # conv2
+        + conv_flops(d // 4, h // 4, w // 4, c * 2, c * 4)  # conv3 s2
+        + conv_flops(d // 4, h // 4, w // 4, c * 4, c * 4)  # conv4
+        + conv_flops(d // 2, h // 2, w // 2, c * 4, c * 2)  # conv5 deconv
+        + conv_flops(d, h, w, c * 2, c)                     # conv6 deconv
+        + conv_flops(d // 2, h // 2, w // 2, c * 2, c * 2, 1)  # redir2
+        + conv_flops(d, h, w, c, c, 1)                      # redir1
+    )
+    bytes_io = 2 * b * d * h * w * c * x.dtype.itemsize
+    report("hourglass2_3dconv", t, flops, bytes_io, dtype)
+
+
+def bench_conv3d_single(batch, iters, dtype):
+    """One 3x3x3 conv at the stage-2 input shape (isolated MXU utilization)."""
+    from semstereo_tpu.ops.convops import conv_nd
+
+    b, d, h, w, cin, cout = batch, 24, 256, 256, 32, 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, d, h, w, cin)), dtype)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.01, dtype)
+    fn = jax.jit(lambda x, k: conv_nd(x, k, stride=2, padding=1))
+    t = timed(fn, x, k, iters=iters)
+    flops = 2 * b * (d // 2) * (h // 2) * (w // 2) * cout * 27 * cin
+    bytes_io = (x.size + k.size + b * (d // 2) * (h // 2) * (w // 2) * cout) * x.dtype.itemsize
+    report("conv3d_3x3x3_s2", t, flops, bytes_io, dtype)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    args = p.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    bench_cost_volume(args.batch, args.iters, dtype)
+    bench_conv3d_single(args.batch, args.iters, dtype)
+    bench_hourglass(args.batch, args.iters, dtype)
+
+
+if __name__ == "__main__":
+    main()

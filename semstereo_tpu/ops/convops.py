@@ -65,6 +65,13 @@ def conv_transpose_nd(
 
     x: [B, *S, Cin], kernel: [*K, Cin, Cout] (stored un-flipped; flipped
     here).  out_size = (in-1)*stride - 2*padding + k + output_padding.
+
+    Exact-x2 stride-2 cases (every deconv in this codebase: k3 p1 op1 and
+    k4 p1 op0) route through the phase-decomposed path: an input-dilated conv
+    wastes 1 - 1/s^d of its MACs multiplying inserted zeros and leaves MXU
+    lanes idle at small C_out; decomposing by output parity gives ONE dense
+    conv with s^d-packed output channels + a pixel shuffle — identical math,
+    ~3.4x fewer MACs, full 128-lane utilisation.
     """
     nsp = x.ndim - 2
     stride = (stride,) * nsp if isinstance(stride, int) else tuple(stride)
@@ -73,6 +80,10 @@ def conv_transpose_nd(
         (output_padding,) * nsp if isinstance(output_padding, int) else tuple(output_padding)
     )
     ks = kernel.shape[:nsp]
+    if all(s == 2 for s in stride) and all(
+        k + op - 2 * p == 2 for k, p, op in zip(ks, padding, output_padding)
+    ):
+        return _conv_transpose_x2_phase(x, kernel, padding, precision)
     pads = [
         (k - 1 - p, k - 1 - p + op) for k, p, op in zip(ks, padding, output_padding)
     ]
@@ -86,3 +97,57 @@ def conv_transpose_nd(
         dimension_numbers=_dim_numbers(nsp),
         precision=precision,
     )
+
+
+def _phase_taps_1d(k: int, p: int):
+    """Per output-parity tap table for a stride-2 transposed conv dim.
+
+    Returns ({r: [(flip_tap_index, input_offset)]}, off_min, off_max): output
+    o = 2m + r reads input x[m + input_offset] weighted by flipW[t]."""
+    lo = k - 1 - p
+    taps = {0: [], 1: []}
+    for r in (0, 1):
+        for t in range(k):
+            num = r + t - lo
+            if num % 2 == 0:
+                taps[r].append((t, num // 2))
+    offs = [m for lst in taps.values() for _, m in lst]
+    return taps, min(offs), max(offs)
+
+
+def _conv_transpose_x2_phase(x, kernel, padding, precision):
+    import itertools
+
+    nsp = x.ndim - 2
+    ks = kernel.shape[:nsp]
+    cin, cout = kernel.shape[-2:]
+    flip = jnp.flip(kernel, axis=tuple(range(nsp)))
+    maps = [_phase_taps_1d(ks[d], padding[d]) for d in range(nsp)]
+    ls = [m[2] - m[1] + 1 for m in maps]
+
+    # Unified kernel [*L, Cin, 2^nsp * Cout], phase-major channel packing.
+    nphase = 2**nsp
+    u = jnp.zeros((*ls, cin, nphase * cout), kernel.dtype)
+    for phases in itertools.product((0, 1), repeat=nsp):
+        pidx = 0
+        for r in phases:
+            pidx = pidx * 2 + r
+        for taps in itertools.product(*[maps[d][0][phases[d]] for d in range(nsp)]):
+            l = tuple(taps[d][1] - maps[d][1] for d in range(nsp))
+            w = flip[tuple(t for t, _ in taps)]  # [Cin, Cout]
+            u = u.at[(*l, slice(None), slice(pidx * cout, (pidx + 1) * cout))].add(w)
+
+    pads = [(-maps[d][1], maps[d][2]) for d in range(nsp)]
+    y = lax.conv_general_dilated(
+        x, u, (1,) * nsp, pads,
+        dimension_numbers=_dim_numbers(nsp), precision=precision,
+    )
+    # pixel shuffle: [B, *S, (r...), Cout] -> interleave each spatial dim
+    b = x.shape[0]
+    s = x.shape[1:-1]
+    y = y.reshape(b, *s, *((2,) * nsp), cout)
+    perm = [0]
+    for d in range(nsp):
+        perm += [1 + d, 1 + nsp + d]
+    perm += [1 + 2 * nsp]
+    return y.transpose(perm).reshape(b, *[2 * e for e in s], cout)

@@ -10,6 +10,12 @@ from semstereo_tpu.utils.experiment import (
     tensor2float,
     tensor2numpy,
 )
+from semstereo_tpu.utils.debug import (
+    check_finite_tree,
+    debug_nans,
+    jit_eager_parity,
+    profile_trace,
+)
 from semstereo_tpu.utils.visualization import disp_error_image, label_vis
 
 __all__ = [
