@@ -23,6 +23,22 @@ from semstereo_tpu.train.trainer import Trainer
 from semstereo_tpu.utils import TeeLogger
 
 
+def maybe_init_distributed():
+    """Multi-host bring-up: when launched under a multi-process coordinator
+    (env JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
+    TPU pod runtime that auto-detects), initialize jax.distributed so hosts
+    form one global mesh over ICI/DCN."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="us3d_stage2", choices=sorted(PRESETS))
@@ -44,6 +60,7 @@ def main():
     p.add_argument("--tensorboard", action="store_true")
     args = p.parse_args()
 
+    maybe_init_distributed()
     cfg = PRESETS[args.preset]
     data_kw = {
         k: v

@@ -147,13 +147,15 @@ class Trainer:
         cfg = self.cfg
         meters = AverageMeterDict()
         seg_meter = SegmentationMeter(cfg.model.num_classes - 1)
-        for batch in self.eval_loader:
+        for it, batch in enumerate(self.eval_loader):
             dev_batch = _device_batch(self.mesh, batch, _EVAL_KEYS)
             scalars = self.eval_step(self.state, dev_batch)
             cm = scalars.pop("confusion", None)
-            scalars.pop("disp_est", None)
+            disp_est = scalars.pop("disp_est", None)
             if cm is not None:
                 seg_meter.add_confusion(cm)
+            if self.writer and it % cfg.summary_freq == 0 and disp_est is not None:
+                self._log_images(epoch, batch, np.asarray(disp_est))
             meters.update(tensor2float(scalars))
         results = meters.mean()
         if seg_meter.cm.sum() > 0:
@@ -175,3 +177,18 @@ class Trainer:
             save_scalars(self.writer, "fulltest", results, epoch)
         print("avg_test_scalars", results)
         return results
+
+    def _log_images(self, epoch: int, batch: dict, disp_est: np.ndarray):
+        """TensorBoard image panel: input, est/gt disparity, KITTI error map
+        (reference main_us3d.py:252-268)."""
+        from semstereo_tpu.utils import disp_error_image, save_images
+
+        images = {
+            "imgL": batch["left"][..., 0],
+            "disp_est": disp_est,
+            "disp_gt": batch["disparity"],
+            "errormap": np.transpose(
+                disp_error_image(disp_est, batch["disparity"]), (0, 3, 1, 2)
+            )[:, 0],
+        }
+        save_images(self.writer, "test", images, epoch)
