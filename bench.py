@@ -54,15 +54,20 @@ def main():
     def forward(left, right):
         return model.apply(variables, left, right, train=False)["disp"][0]
 
-    out = forward(left, right)
-    out.block_until_ready()
+    def sync(x):
+        # On some backends (axon tunnel) block_until_ready does not block;
+        # a scalar fetch is the only reliable completion barrier.
+        return float(jnp.sum(x).astype(jnp.float32))
+
+    sync(forward(left, right))
     for _ in range(args.warmup):
-        forward(left, right).block_until_ready()
+        sync(forward(left, right))
 
     t0 = time.perf_counter()
+    out = None
     for _ in range(args.iters):
         out = forward(left, right)
-    out.block_until_ready()
+    sync(out)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = args.batch * args.iters / dt

@@ -1,0 +1,57 @@
+"""Shared benchmark timing utilities.
+
+Two quirks of the axon TPU tunnel shape everything here:
+  * ``block_until_ready`` returns without waiting — synchronization must be
+    forced by fetching data (a scalar reduction transfer);
+  * per-dispatch round-trips cost ~tens of ms — measurements run the op N
+    times inside ONE jitted ``lax.scan`` (optimization_barrier-chained so
+    nothing is DCE'd) and use two-point calibration (T(n2)-T(n1))/(n2-n1)
+    to cancel the fixed dispatch+fetch cost.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def device_sync(out) -> float:
+    """Force completion by fetching a scalar derived from `out`."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf).astype(jnp.float32))
+
+
+def scan_bench(fn, args, length: int):
+    """jit a scan applying fn(*args) `length` times with barrier chaining."""
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            out = fn(*carry)
+            leaves = jax.tree_util.tree_leaves(out)
+            carry = jax.lax.optimization_barrier((*carry, leaves[0]))[: len(carry)]
+            return carry, ()
+
+        carry, _ = jax.lax.scan(body, args, None, length=length)
+        return carry
+
+    return run
+
+
+def timed_calibrated(fn, args, n1: int = 4, n2: int = 16, repeats: int = 2) -> float:
+    """Per-iteration seconds of fn(*args), fixed costs cancelled."""
+    r1, r2 = scan_bench(fn, args, n1), scan_bench(fn, args, n2)
+    device_sync(r1(args))  # compile
+    device_sync(r2(args))
+
+    def t(run):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            device_sync(run(args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((t(r2) - t(r1)) / (n2 - n1), 1e-9)

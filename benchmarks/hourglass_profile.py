@@ -20,7 +20,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from benchmarks.roofline import timed  # noqa: E402
+from benchmarks._timing import timed_calibrated  # noqa: E402
 from semstereo_tpu.nn.attention import WindowedAttention3D  # noqa: E402
 from semstereo_tpu.ops.convops import conv_nd, conv_transpose_nd  # noqa: E402
 
@@ -54,7 +54,7 @@ def main():
             fn = lambda x, kern=kern: conv_nd(x, kern, 1, 0)
         else:
             fn = lambda x, kern=kern, stride=stride: conv_nd(x, kern, stride, 1)
-        t = timed(fn, x, iters=args.iters)
+        t = timed_calibrated(fn, (x,), n2=max(args.iters, 8))
         out_sp = [s // stride for s in ishape[1:4]] if not deconv else [s * 2 for s in ishape[1:4]]
         flops = 2 * b * int(np.prod(out_sp)) * cout * (k ** 3) * cin
         print(json.dumps({"layer": name, "ms": round(t * 1e3, 3),
@@ -66,7 +66,7 @@ def main():
     va = att.init(jax.random.PRNGKey(0), xa)
     if dtype != jnp.float32:
         va = jax.tree_util.tree_map(lambda v: v.astype(dtype), va)
-    t = timed(lambda x: att.apply(va, x), xa, iters=args.iters)
+    t = timed_calibrated(lambda x: att.apply(va, x), (xa,), n2=max(args.iters, 8))
     print(json.dumps({"layer": "attention_6x4x4", "ms": round(t * 1e3, 3)}))
 
 

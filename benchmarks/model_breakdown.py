@@ -23,39 +23,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from benchmarks._timing import timed_calibrated  # noqa: E402
 from semstereo_tpu.models import SemStereo  # noqa: E402
 from semstereo_tpu.nn import MobileViTv2Backbone  # noqa: E402
-
-
-def timed2(fn, args, n1=4, n2=12):
-    """Two-point calibrated per-iteration time of fn(*args)."""
-
-    def scan_n(n):
-        @jax.jit
-        def run(args):
-            def body(carry, _):
-                out = fn(*carry)
-                leaves = jax.tree_util.tree_leaves(out)
-                carry = jax.lax.optimization_barrier((*carry, leaves[0]))[: len(carry)]
-                return carry, ()
-
-            carry, _ = jax.lax.scan(body, args, None, length=n)
-            return carry
-
-        return run
-
-    r1, r2 = scan_n(n1), scan_n(n2)
-    jax.block_until_ready(r1(args))
-    jax.block_until_ready(r2(args))
-
-    def t(run):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(args))
-        return time.perf_counter() - t0
-
-    t1 = min(t(r1) for _ in range(2))
-    t2 = min(t(r2) for _ in range(2))
-    return (t2 - t1) / (n2 - n1)
 
 
 def main():
@@ -80,28 +50,28 @@ def main():
     # 1. backbone alone (x2: both views)
     bb = MobileViTv2Backbone()
     vb = cast(bb.init(jax.random.PRNGKey(0), left))
-    results["backbone_x2"] = timed2(
+    results["backbone_x2"] = timed_calibrated(
         lambda l, r: bb.apply(vb, l)[0] + bb.apply(vb, r)[0], (left, right)
     )
 
     # 2. seg-only model (backbone x2 + FeatUp + heads)
     m_seg = SemStereo(maxdisp=64, stereo_if=False)
     vs = cast(m_seg.init(jax.random.PRNGKey(0), left, right))
-    results["seg_graph"] = timed2(
+    results["seg_graph"] = timed_calibrated(
         lambda l, r: m_seg.apply(vs, l, r)["label_l"], (left, right)
     )
 
     # 3. stage-1 (attention-weights-only) full graph
     m_s1 = SemStereo(maxdisp=64, att_weights_only=True)
     v1 = cast(m_s1.init(jax.random.PRNGKey(0), left, right))
-    results["stage1_graph"] = timed2(
+    results["stage1_graph"] = timed_calibrated(
         lambda l, r: m_s1.apply(v1, l, r)["disp"][0], (left, right)
     )
 
     # 4. full stage-2 graph
     m_s2 = SemStereo(maxdisp=64)
     v2 = cast(m_s2.init(jax.random.PRNGKey(0), left, right))
-    results["full_graph"] = timed2(
+    results["full_graph"] = timed_calibrated(
         lambda l, r: m_s2.apply(v2, l, r)["disp"][0], (left, right)
     )
 

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks._timing import timed_calibrated
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -33,36 +35,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 PEAK_BF16_FLOPS = 394e12
 PEAK_F32_FLOPS = 197e12
 PEAK_HBM_BPS = 819e9
-
-
-def timed(fn, *args, iters=20, warmup=1):
-    """Per-iteration device time of fn(*args).
-
-    All iterations run inside ONE jitted lax.scan with optimization_barrier
-    chaining, so the measurement is a single dispatch — immune to host
-    dispatch overhead and to any relay-level caching of identical
-    executions (naive re-dispatch loops measured >peak FLOPs here).
-    """
-
-    def make(n):
-        @jax.jit
-        def run(args):
-            def body(carry, _):
-                out = fn(*carry)
-                carry = jax.lax.optimization_barrier((*carry, out))[:-1]
-                return carry, ()
-            carry, _ = jax.lax.scan(body, args, None, length=n)
-            return carry
-
-        return run
-
-    run = make(iters)
-    jax.block_until_ready(run(args))  # compile + warm
-    for _ in range(warmup):
-        jax.block_until_ready(run(args))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(args))
-    return (time.perf_counter() - t0) / iters
 
 
 def report(name, seconds, flops, bytes_moved, dtype):
@@ -104,7 +76,7 @@ def bench_cost_volume(batch, iters, dtype):
         ("cost_volume_pallas", functools.partial(gwc_volume_norm_pallas, max_shift=8, num_groups=32)),
     ]:
         fn = jax.jit(lambda l, r, impl=impl: impl(l, r))
-        t = timed(fn, left, right, iters=iters)
+        t = timed_calibrated(fn, (left, right), n2=max(iters,8))
         report(name, t, flops, bytes_io, dtype)
 
 
@@ -122,7 +94,7 @@ def bench_hourglass(batch, iters, dtype):
         )
 
     fn = jax.jit(lambda x: model.apply(variables, x))
-    t = timed(fn, x, iters=iters)
+    t = timed_calibrated(fn, (x,), n2=max(iters,8))
 
     # conv FLOPs: 2 * out_elems * K^3 * Cin per conv layer
     def conv_flops(dd, hh, ww, cin, cout, k=27):
@@ -151,7 +123,7 @@ def bench_conv3d_single(batch, iters, dtype):
     x = jnp.asarray(rng.standard_normal((b, d, h, w, cin)), dtype)
     k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.01, dtype)
     fn = jax.jit(lambda x, k: conv_nd(x, k, stride=2, padding=1))
-    t = timed(fn, x, k, iters=iters)
+    t = timed_calibrated(fn, (x, k), n2=max(iters,8))
     flops = 2 * b * (d // 2) * (h // 2) * (w // 2) * cout * 27 * cin
     bytes_io = (x.size + k.size + b * (d // 2) * (h // 2) * (w // 2) * cout) * x.dtype.itemsize
     report("conv3d_3x3x3_s2", t, flops, bytes_io, dtype)

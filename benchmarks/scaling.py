@@ -84,12 +84,16 @@ def main():
                 "label": jnp.zeros((bs, h, w)),
             },
         )
+        def sync(s):
+            leaf = jax.tree_util.tree_leaves(s.params)[0]
+            return float(jnp.sum(leaf).astype(jnp.float32))
+
         state, _ = train_step(state, batch)  # compile
-        jax.block_until_ready(state.params)
+        sync(state)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, scalars = train_step(state, batch)
-        jax.block_until_ready(state.params)
+        sync(state)
         dt = (time.perf_counter() - t0) / args.steps
         sps = bs / dt
         if base is None:
