@@ -24,15 +24,27 @@ def device_sync(out) -> float:
 
 
 def scan_bench(fn, args, length: int):
-    """jit a scan applying fn(*args) `length` times with barrier chaining."""
+    """jit a scan applying fn(*args) `length` times, each iteration genuinely
+    data-dependent on the previous one.
+
+    An optimization_barrier whose extra operand is dropped is NOT enough: XLA
+    hoists the loop-invariant body out of the scan and the measurement
+    collapses to one execution (observed on TPU).  Instead the first carry
+    leaf absorbs ``1e-30 * out[0]`` — numerically a no-op (rounds away at any
+    practical magnitude/dtype) but an un-provable identity, so every
+    iteration must run."""
 
     @jax.jit
     def run(args):
         def body(carry, _):
             out = fn(*carry)
-            leaves = jax.tree_util.tree_leaves(out)
-            carry = jax.lax.optimization_barrier((*carry, leaves[0]))[: len(carry)]
-            return carry, ()
+            # Barrier BEFORE the scalar extraction: without it XLA slices
+            # through the producer (e.g. dot+slice -> vector dot) and the
+            # body collapses to a cheap subexpression.
+            leaf = jax.lax.optimization_barrier(jax.tree_util.tree_leaves(out)[0])
+            s = leaf.ravel()[0]
+            first = carry[0] + (s * 1e-30).astype(carry[0].dtype)
+            return (first, *carry[1:]), ()
 
         carry, _ = jax.lax.scan(body, args, None, length=length)
         return carry
@@ -40,7 +52,7 @@ def scan_bench(fn, args, length: int):
     return run
 
 
-def timed_calibrated(fn, args, n1: int = 4, n2: int = 16, repeats: int = 2) -> float:
+def timed_calibrated(fn, args, n1: int = 4, n2: int = 16, repeats: int = 3) -> float:
     """Per-iteration seconds of fn(*args), fixed costs cancelled."""
     r1, r2 = scan_bench(fn, args, n1), scan_bench(fn, args, n2)
     device_sync(r1(args))  # compile

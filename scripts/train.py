@@ -58,6 +58,14 @@ def main():
     p.add_argument("--data-parallel", type=int, default=-1, help="mesh data axis size")
     p.add_argument("--disp-parallel", type=int, default=1, help="mesh disp axis size")
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument(
+        "--compute-dtype", choices=["float32", "bfloat16"],
+        help="model compute precision (fp32 master params either way)",
+    )
+    p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize backbone + 3-D hourglasses on the backward pass",
+    )
     args = p.parse_args()
 
     maybe_init_distributed()
@@ -79,6 +87,8 @@ def main():
         if v is not None
     }
     model_kw = {k: v for k, v in dict(maxdisp=args.maxdisp).items() if v is not None}
+    if args.remat:
+        model_kw["remat"] = True
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, **data_kw),
         optim=dataclasses.replace(cfg.optim, **optim_kw),
@@ -94,6 +104,11 @@ def main():
             if v is not None
         },
         resume=args.resume,
+        **(
+            {"compute_dtype": args.compute_dtype}
+            if args.compute_dtype is not None
+            else {}
+        ),
     )
 
     os.makedirs(cfg.logdir, exist_ok=True)

@@ -29,6 +29,7 @@ class ModelConfig:
     att_window1: Tuple[int, int, int] = (4, 4, 4)
     att_window2: Tuple[int, int, int] = (6, 4, 4)
     shard_disp: bool = False  # shard cost-volume disparity planes over mesh 'disp'
+    remat: bool = False  # rematerialize backbone + hourglasses on backward
 
     @property
     def symmetric(self) -> bool:

@@ -95,6 +95,10 @@ class SemStereo(nn.Module):
     # disparity-plane axis over the mesh's 'disp' axis (tensor parallelism for
     # the volume pipeline; requires an active jax.sharding.use_mesh context).
     shard_disp: bool = False
+    # Rematerialize the backbone and 3-D hourglasses on the backward pass —
+    # trades ~1/3 extra FLOPs for the activation memory of the stage-2
+    # [B, 24, H/4, W/4, 64] volume pipeline (SURVEY.md section 7 'Memory').
+    remat: bool = False
 
     def _constrain_disp(self, vol):
         if not self.shard_disp:
@@ -112,7 +116,15 @@ class SemStereo(nn.Module):
             "stereo_if requires seg_if: SSR upsampling consumes pred_label "
             "(reference SemStereo.py:311)"
         )
-        backbone = MobileViTv2Backbone(name="feature")
+        backbone_cls = (
+            nn.remat(MobileViTv2Backbone, static_argnums=(2,))
+            if self.remat
+            else MobileViTv2Backbone
+        )
+        hourglass_cls = (
+            nn.remat(Hourglass3D, static_argnums=(2,)) if self.remat else Hourglass3D
+        )
+        backbone = backbone_cls(name="feature")
         feat_l = backbone(left, train)
         feat_r = backbone(right, train)
         feat_l, feat_r = FeatUp(name="feature_up")(feat_l, feat_r, train)
@@ -158,7 +170,7 @@ class SemStereo(nn.Module):
             use_bias=False, name="patch",
         )(corr)
         cost_att = ChannelAtt(groups, name="corr_feature_att_8")(corr, fl[2], train)
-        cost_att = Hourglass3D(32, self.att_window1, name="hourglass_att")(cost_att, train)
+        cost_att = hourglass_cls(32, self.att_window1, name="hourglass_att")(cost_att, train)
         cost_att = Classifier3D(32, name="classif_att")(cost_att, train)
 
         d4 = self.maxdisp // 4 * (2 if self.symmetric else 1)
@@ -184,7 +196,10 @@ class SemStereo(nn.Module):
         att_weights = propagate5_volume(att_weights)  # [B, 5, D4, H4, W4]
         att_weights = jnp.sum(att_weights * strength[:, :, None], axis=1)
 
-        att_topk, att_raw, samples = topk_planes(att_weights, self.topk, self.symmetric)
+        # Clamp top-k to the available planes: the reference hardcodes k=24
+        # against d4=32 (SemStereo.py:301); reduced-maxdisp configs have fewer.
+        k = min(self.topk, d4)
+        att_topk, att_raw, samples = topk_planes(att_weights, k, self.symmetric)
         att_prob = jax.nn.softmax(att_raw, axis=1)
         pred_att = jnp.sum(att_prob * samples, axis=1)  # [B, H4, W4]
         ssr = SSRUpsample(self.num_classes, name="ssr_upsample")
@@ -206,7 +221,7 @@ class SemStereo(nn.Module):
             volume = ChannelAtt(CHANS2[1] // 4, name="concat_feature_att_4")(
                 volume, fl[1], train
             )
-            cost = Hourglass3D(32, self.att_window2, name="hourglass")(volume, train)
+            cost = hourglass_cls(32, self.att_window2, name="hourglass")(volume, train)
             cost = Classifier3D(32, name="classif")(cost, train)[..., 0]
             pred = regression_topk(cost, samples, self.refine_topk)
             pred_up = ssr(pred[..., None], spx_pred, pred_label, train)

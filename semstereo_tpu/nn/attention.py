@@ -30,14 +30,18 @@ class WindowedAttention3D(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, d0, h0, w0, c = x.shape
         bd, bh, bw = self.window
-        assert d0 % bd == 0, f"depth {d0} must divide window depth {bd}"
+        # All three dims are padded to window multiples with masked attention
+        # (the reference only ever pads H/W — its configs keep D divisible —
+        # but reduced-maxdisp configs here can make D smaller than bd).
+        pad_d = (-d0) % bd
         pad_b = (-h0) % bh
         pad_r = (-w0) % bw
-        h, w = h0 + pad_b, w0 + pad_r
-        if pad_b or pad_r:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        d, h, w = d0 + pad_d, h0 + pad_b, w0 + pad_r
+        any_pad = bool(pad_d or pad_b or pad_r)
+        if any_pad:
+            x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_b), (0, pad_r), (0, 0)))
 
-        nd, nh, nw = d0 // bd, h // bh, w // bw
+        nd, nh, nw = d // bd, h // bh, w // bw
         t = bd * bh * bw
         # [B, nd, bd, nh, bh, nw, bw, C] -> [B, nd, nh, nw, bd, bh, bw, C]
         xw = x.reshape(b, nd, bd, nh, bh, nw, bw, c)
@@ -51,20 +55,27 @@ class WindowedAttention3D(nn.Module):
         scale = hd**-0.5
         attn = jnp.einsum("bnqhd,bnkhd->bnhqk", q, k) * scale
 
-        if pad_b or pad_r:
-            padded = jnp.zeros((h, w), bool).at[h0:, :].set(True).at[:, w0:].set(True)
-            # per hw-window flags in (bh, bw) order, tiled over bd
-            pw = padded.reshape(nh, bh, nw, bw).transpose(0, 2, 1, 3).reshape(nh * nw, bh * bw)
-            pw = jnp.tile(pw, (1, bd))  # token order (bd, bh, bw) -> tile bd copies
+        if any_pad:
+            padded = (
+                jnp.zeros((d, h, w), bool)
+                .at[d0:, :, :].set(True)
+                .at[:, h0:, :].set(True)
+                .at[:, :, w0:].set(True)
+            )
+            # per-window flags in token order (bd, bh, bw)
+            pw = (
+                padded.reshape(nd, bd, nh, bh, nw, bw)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(nd * nh * nw, t)
+            )
             bias = jnp.where(pw[:, None, :] != pw[:, :, None], -1000.0, 0.0)
-            bias = jnp.tile(bias[None], (nd, 1, 1)).reshape(nd * nh * nw, t, t)
-            attn = attn + bias[None, :, None]
+            attn = attn + bias[None, :, None].astype(attn.dtype)
 
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(b, nd * nh * nw, t, c)
 
         out = out.reshape(b, nd, nh, nw, bd, bh, bw, c)
-        out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, d0, h, w, c)
-        if pad_b or pad_r:
-            out = out[:, :, :h0, :w0]
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, d, h, w, c)
+        if any_pad:
+            out = out[:, :d0, :h0, :w0]
         return nn.Dense(c, use_bias=True, name="final1x1")(out)

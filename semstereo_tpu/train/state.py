@@ -41,6 +41,7 @@ def build_model(cfg: TrainConfig):
         att_window1=cfg.model.att_window1,
         att_window2=cfg.model.att_window2,
         shard_disp=cfg.model.shard_disp,
+        remat=cfg.model.remat,
     )
 
 

@@ -22,6 +22,20 @@ from semstereo_tpu.config import TrainConfig
 from semstereo_tpu.train.state import TrainState, build_model, build_optimizer
 
 
+def _cast_floats(tree, dtype):
+    """Cast float32 leaves to `dtype` (no-op for ints/bools)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
+
+
+def _compute_dtype(cfg: TrainConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 def valid_mask(gt, maxdisp: int, symmetric: bool):
     """US3D: -maxdisp <= d < maxdisp (reference main_us3d.py:199-200);
     WHU: 0 < d < maxdisp (main_whu.py:198)."""
@@ -80,19 +94,30 @@ def make_train_step(cfg: TrainConfig):
     """Returns train_step(state, batch) -> (state, scalars)."""
     model = build_model(cfg)
     tx = build_optimizer(cfg)
+    dtype = _compute_dtype(cfg)
 
     def loss_fn(params, batch_stats, batch):
+        # Mixed precision: fp32 master params, bf16 compute.  The casts are
+        # differentiable, so gradients come back fp32; losses/metrics and BN
+        # running stats stay fp32.
         out, mut = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["left"],
-            batch["right"],
+            {
+                "params": _cast_floats(params, dtype),
+                "batch_stats": _cast_floats(batch_stats, dtype),
+            },
+            batch["left"].astype(dtype),
+            batch["right"].astype(dtype),
             train=True,
             mutable=["batch_stats"],
         )
+        out = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), out)
         total, aux, mask = assemble_train_loss(cfg, out, batch)
-        return total, (mut["batch_stats"], aux, out, mask)
+        new_bs = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), mut["batch_stats"]
+        )
+        return total, (new_bs, aux, out, mask)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         grads, (new_bs, aux, out, mask) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
@@ -123,15 +148,20 @@ def make_eval_step(cfg: TrainConfig):
     model = build_model(cfg)
     model_cfg = cfg.model
     seg_on = model_cfg.seg_if
+    dtype = _compute_dtype(cfg)
 
     @jax.jit
     def eval_step(state: TrainState, batch):
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["left"],
-            batch["right"],
+            {
+                "params": _cast_floats(state.params, dtype),
+                "batch_stats": _cast_floats(state.batch_stats, dtype),
+            },
+            batch["left"].astype(dtype),
+            batch["right"].astype(dtype),
             train=False,
         )
+        out = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), out)
         gt = batch["disparity"]
         mask = valid_mask(gt, model_cfg.maxdisp, model_cfg.symmetric)
         scalars: dict[str, Any] = {}

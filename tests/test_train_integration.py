@@ -45,6 +45,12 @@ def to_dev(batch):
     return {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
 
 
+def clone_state(state):
+    """Deep-copy device buffers: train_step donates its input state, so tests
+    sharing the module-scoped fixture must hand it a private copy."""
+    return jax.tree_util.tree_map(lambda x: jnp.array(x), state)
+
+
 @pytest.fixture(scope="module")
 def tiny_state():
     return init_state(TINY, (2, H, W, 3))
@@ -52,7 +58,7 @@ def tiny_state():
 
 def test_loss_decreases(tiny_state):
     step = make_train_step(TINY)
-    state = tiny_state
+    state = clone_state(tiny_state)
     batch = to_dev(make_batch())
     losses = []
     for _ in range(8):
@@ -113,6 +119,29 @@ def test_stage1_to_stage2_partial_restore(tmp_path):
     assert "hourglass" in merged.params
 
 
+def test_bf16_remat_train_step(tiny_state):
+    """Mixed-precision (bf16 compute) + remat step: loss finite and close to
+    the fp32 step; master params/batch-stats remain fp32 after the update."""
+    cfg = TINY.replace(
+        model=TINY_MODEL.__class__(**{**TINY_MODEL.__dict__, "remat": True}),
+        compute_dtype="bfloat16",
+    )
+    step = make_train_step(cfg)
+    batch = to_dev(make_batch())
+    state, scalars = step(clone_state(tiny_state), batch)
+    assert np.isfinite(float(scalars["loss"]))
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+        assert leaf.dtype == jnp.float32
+
+    fp32_step = make_train_step(TINY)
+    _, scal32 = fp32_step(clone_state(tiny_state), batch)
+    np.testing.assert_allclose(
+        float(scalars["loss"]), float(scal32["loss"]), rtol=0.05
+    )
+
+
 def test_data_parallel_matches_single_device(tiny_state):
     """Batch sharded over the 8-device CPU mesh must produce the same loss
     and updated params as unsharded execution."""
@@ -120,11 +149,11 @@ def test_data_parallel_matches_single_device(tiny_state):
     step = make_train_step(TINY)
     batch8 = to_dev(make_batch(bs=8))
 
-    _, scal_single = step(tiny_state, batch8)
+    _, scal_single = step(clone_state(tiny_state), batch8)
 
     mesh = make_mesh()
     sharded = shard_batch(mesh, batch8)
-    state_new, scal_sharded = step(tiny_state, sharded)
+    state_new, scal_sharded = step(clone_state(tiny_state), sharded)
 
     np.testing.assert_allclose(
         float(scal_single["loss"]), float(scal_sharded["loss"]), rtol=2e-4
