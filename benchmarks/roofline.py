@@ -31,9 +31,10 @@ from benchmarks._timing import timed_calibrated
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# TPU v5e speed-of-light
-PEAK_BF16_FLOPS = 394e12
-PEAK_F32_FLOPS = 197e12
+# TPU v5e speed-of-light (394e12 is the int8 figure; bf16 is 197).  A bf16
+# 4096^3 matmul measures 186 TF/s here = 94% of this peak, confirming v5e.
+PEAK_BF16_FLOPS = 197e12
+PEAK_F32_FLOPS = 98.5e12
 PEAK_HBM_BPS = 819e9
 
 

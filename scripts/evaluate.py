@@ -12,6 +12,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Some environments force a platform programmatically at interpreter startup
+# (beating the JAX_PLATFORMS env var); SEMSTEREO_PLATFORM re-overrides it
+# before the backend initializes (e.g. =cpu for a virtual test mesh).
+if os.environ.get("SEMSTEREO_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SEMSTEREO_PLATFORM"])
+
 import dataclasses
 
 from semstereo_tpu.config import PRESETS

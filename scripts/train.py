@@ -18,6 +18,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Some environments force a platform programmatically at interpreter startup
+# (beating the JAX_PLATFORMS env var); SEMSTEREO_PLATFORM re-overrides it
+# before the backend initializes (e.g. =cpu for a virtual test mesh).
+if os.environ.get("SEMSTEREO_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SEMSTEREO_PLATFORM"])
+
 from semstereo_tpu.config import PRESETS
 from semstereo_tpu.train.trainer import Trainer
 from semstereo_tpu.utils import TeeLogger
@@ -57,6 +65,10 @@ def main():
     p.add_argument("--num-workers", type=int)
     p.add_argument("--data-parallel", type=int, default=-1, help="mesh data axis size")
     p.add_argument("--disp-parallel", type=int, default=1, help="mesh disp axis size")
+    p.add_argument(
+        "--space-parallel", type=int, default=1,
+        help="mesh spatial axis size (height-tile sharding + halo exchange)",
+    )
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument(
         "--compute-dtype", choices=["float32", "bfloat16"],
@@ -94,7 +106,8 @@ def main():
         optim=dataclasses.replace(cfg.optim, **optim_kw),
         model=dataclasses.replace(cfg.model, **model_kw),
         parallel=dataclasses.replace(
-            cfg.parallel, data=args.data_parallel, disp=args.disp_parallel
+            cfg.parallel, data=args.data_parallel, disp=args.disp_parallel,
+            space=args.space_parallel,
         ),
         **{
             k: v

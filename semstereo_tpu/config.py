@@ -29,6 +29,7 @@ class ModelConfig:
     att_window1: Tuple[int, int, int] = (4, 4, 4)
     att_window2: Tuple[int, int, int] = (6, 4, 4)
     shard_disp: bool = False  # shard cost-volume disparity planes over mesh 'disp'
+    shard_spatial: bool = False  # shard height tiles over mesh 'space'
     remat: bool = False  # rematerialize backbone + hourglasses on backward
 
     @property
@@ -62,6 +63,7 @@ class OptimConfig:
 class ParallelConfig:
     data: int = -1  # -1: all devices on the data axis
     disp: int = 1  # disparity-plane/model axis size (volume sharding)
+    space: int = 1  # spatial-tile axis size (height sharding + GSPMD halo exchange)
     # Under pjit/GSPMD, BN batch stats are global (sync-BN) by construction.
     # This flag is recorded for the shard_map path where per-replica stats
     # (reference nn.DataParallel semantics) are possible.

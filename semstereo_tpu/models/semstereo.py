@@ -86,6 +86,7 @@ class SemStereo(nn.Module):
     topk: int = 24
     refine_topk: int = 2
     cost_volume_impl: str = "xla"
+    warp_impl: str = "onehot"  # onehot (MXU banded contraction) | gather
     # Attention windows at the two hourglass bottlenecks (reference: (4,4,4)
     # and (6,4,4), SemStereo.py:122,161).  The bottleneck depth D/4 must be a
     # multiple of the window depth; override for reduced-maxdisp configs.
@@ -95,19 +96,29 @@ class SemStereo(nn.Module):
     # disparity-plane axis over the mesh's 'disp' axis (tensor parallelism for
     # the volume pipeline; requires an active jax.sharding.use_mesh context).
     shard_disp: bool = False
+    # When True, annotate cost volumes with a height-tile sharding over the
+    # mesh's 'space' axis (spatial parallelism; GSPMD adds conv halo exchange).
+    shard_spatial: bool = False
     # Rematerialize the backbone and 3-D hourglasses on the backward pass —
     # trades ~1/3 extra FLOPs for the activation memory of the stage-2
     # [B, 24, H/4, W/4, 64] volume pipeline (SURVEY.md section 7 'Memory').
     remat: bool = False
 
     def _constrain_disp(self, vol):
-        if not self.shard_disp:
+        """Sharding constraint on a [B, D, H, W, ...] cost volume: disparity
+        planes over ``disp`` and/or height tiles over ``space``."""
+        if not (self.shard_disp or self.shard_spatial):
             return vol
         from jax.sharding import PartitionSpec as P
 
-        from semstereo_tpu.parallel import DATA_AXIS, DISP_AXIS
+        from semstereo_tpu.parallel import DATA_AXIS, DISP_AXIS, SPATIAL_AXIS
 
-        spec = P(DATA_AXIS, DISP_AXIS, *([None] * (vol.ndim - 2)))
+        spec = P(
+            DATA_AXIS,
+            DISP_AXIS if self.shard_disp else None,
+            SPATIAL_AXIS if self.shard_spatial else None,
+            *([None] * (vol.ndim - 3)),
+        )
         return jax.lax.with_sharding_constraint(vol, spec)
 
     @nn.compact
@@ -189,7 +200,11 @@ class SemStereo(nn.Module):
         conf_samples = propagate5(conf)  # [B, 5, H4, W4]
         disp_samples = propagate5(pred_att)
 
-        warped_r, tiled_l = warp_with_left(fl[1], fr1, disp_samples)
+        # |disp| at /4 is bounded by the regression range -> banded warp
+        max_off = d4 // 2 if self.symmetric else d4
+        warped_r, tiled_l = warp_with_left(
+            fl[1], fr1, disp_samples, impl=self.warp_impl, max_offset=max_off
+        )
         strength = jnp.mean(tiled_l * warped_r, axis=-1)  # [B, 5, H4, W4]
         strength = jax.nn.softmax(strength * conf_samples, axis=1)
 
@@ -210,7 +225,9 @@ class SemStereo(nn.Module):
             concat_feature = _ConcatFeature(name="concat_feature")
             lc = concat_feature(fl[1], train)
             rc = concat_feature(fr1, train)
-            warped_rc, tiled_lc = warp_with_left(lc, rc, samples)
+            warped_rc, tiled_lc = warp_with_left(
+                lc, rc, samples, impl=self.warp_impl, max_offset=max_off
+            )
             concat_volume = jnp.concatenate([tiled_lc, warped_rc], axis=-1)
 
             volume = att_topk[..., None] * concat_volume

@@ -15,6 +15,19 @@ import jax
 import jax.numpy as jnp
 
 
+def take_along_last_onehot(x: jax.Array, ind: jax.Array) -> jax.Array:
+    """``take_along_axis(x, ind, axis=-1)`` as a one-hot contraction.
+
+    TPU gathers stream at a fraction of HBM bandwidth (profiled ~18 GB/s on
+    this model); for a small gathered axis (D <= ~64 disparity planes) the
+    same selection as a one-hot einsum runs on the MXU/VPU at full rate.
+    x: [..., D], ind: [..., K] int -> [..., K].
+    """
+    d = x.shape[-1]
+    oh = (ind[..., None] == jnp.arange(d, dtype=ind.dtype)).astype(x.dtype)
+    return jnp.einsum("...kd,...d->...k", oh, x)
+
+
 def disparity_values(ndisp: int, symmetric: bool, dtype=jnp.float32) -> jax.Array:
     """Per-plane disparity values: arange(-D/2, D/2) or arange(0, D)."""
     if symmetric:
@@ -56,9 +69,9 @@ def topk_planes(weights: jax.Array, k: int, symmetric: bool):
     prob_l = jnp.moveaxis(prob, 1, -1)  # [B, H, W, D]
     _, ind = jax.lax.top_k(prob_l, k)  # descending by prob
     ind = jnp.sort(ind, axis=-1)  # ascending plane order
-    topk_prob = jnp.take_along_axis(prob_l, ind, axis=-1)
+    topk_prob = take_along_last_onehot(prob_l, ind)
     raw_l = jnp.moveaxis(weights, 1, -1)
-    topk_raw = jnp.take_along_axis(raw_l, ind, axis=-1)
+    topk_raw = take_along_last_onehot(raw_l, ind)
     offset = d // 2 if symmetric else 0
     samples = ind.astype(weights.dtype) - offset
     to_bdhw = lambda x: jnp.moveaxis(x, -1, 1)
@@ -75,5 +88,5 @@ def regression_topk(cost: jax.Array, disparity_samples: jax.Array, k: int) -> ja
     samp_l = jnp.moveaxis(disparity_samples, 1, -1)
     topv, ind = jax.lax.top_k(cost_l, k)
     prob = jax.nn.softmax(topv, axis=-1)
-    samp = jnp.take_along_axis(samp_l, ind, axis=-1)
+    samp = take_along_last_onehot(samp_l, ind)
     return jnp.sum(prob * samp, axis=-1)

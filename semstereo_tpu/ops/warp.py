@@ -17,20 +17,63 @@ import jax
 import jax.numpy as jnp
 
 
-def disparity_warp(right: jax.Array, disp_samples: jax.Array) -> jax.Array:
+def disparity_warp(
+    right: jax.Array,
+    disp_samples: jax.Array,
+    impl: str = "onehot",
+    max_offset: int | None = None,
+) -> jax.Array:
     """Warp right features to D disparity hypotheses.
 
     right: [B, H, W, C]; disp_samples: [B, D, H, W] (disparities in pixels at
     this resolution; sample column is x - d).
     Returns warped right features [B, D, H, W, C]; out-of-range taps are 0
     (grid_sample padding_mode='zeros').
+
+    impl='onehot' (default): the bilinear two-tap selection is expressed as a
+    sparse selection matrix contracted on the MXU — TPU gathers stream at
+    ~18 GB/s while this runs at matmul rate.  When ``max_offset`` is given
+    (|disp| bound at this scale, e.g. maxdisp//4), the contraction runs over
+    a (2*max_offset+2)-column band of statically shifted copies of ``right``
+    instead of all W source columns — a "dynamic local filter" along W.
+    Out-of-band / out-of-image taps match nothing or hit the zero padding,
+    giving grid_sample's zeros padding for free.
+
+    impl='gather': take_along_axis reference path (oracle for parity tests).
     """
     b, h, w, c = right.shape
     xs = jnp.arange(w, dtype=disp_samples.dtype)[None, None, None, :] - disp_samples
     x0 = jnp.floor(xs)
-    frac = (xs - x0)[..., None]  # [B, D, H, W, 1]
+    frac = xs - x0  # [B, D, H, W]
     x0i = x0.astype(jnp.int32)
     x1i = x0i + 1
+
+    if impl == "onehot":
+        if max_offset is None:
+            # full source-column one-hot: [B,D,H,W,Wsrc] @ [B,H,Wsrc,C]
+            cols = jnp.arange(w, dtype=jnp.int32)
+            wmat = (1.0 - frac)[..., None] * (x0i[..., None] == cols) + frac[
+                ..., None
+            ] * (x1i[..., None] == cols)
+            return jnp.einsum("bdhwv,bhvc->bdhwc", wmat.astype(right.dtype), right)
+
+        # banded: source column = w + o with o in [-m, m+1]
+        m = int(max_offset)
+        n_off = 2 * m + 2
+        # shifted[b,h,w,o,c] = right[b,h,w+o-m,c], zero outside the image
+        padded = jnp.pad(right, ((0, 0), (0, 0), (m, m + 1), (0, 0)))
+        shifted = jnp.stack(
+            [padded[:, :, o : o + w] for o in range(n_off)], axis=3
+        )  # [B, H, W, O, C]
+        cols = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
+        o0 = x0i - cols + m  # band index of the floor tap
+        orange = jnp.arange(n_off, dtype=jnp.int32)
+        wrel = (1.0 - frac)[..., None] * (o0[..., None] == orange) + frac[
+            ..., None
+        ] * ((o0 + 1)[..., None] == orange)
+        return jnp.einsum(
+            "bdhwo,bhwoc->bdhwc", wrel.astype(right.dtype), shifted
+        )
 
     def tap(xi):
         valid = (xi >= 0) & (xi < w)
@@ -39,13 +82,20 @@ def disparity_warp(right: jax.Array, disp_samples: jax.Array) -> jax.Array:
         v = jnp.take_along_axis(right[:, None], idx[..., None], axis=3)
         return jnp.where(valid[..., None], v, 0.0)
 
-    return (1.0 - frac) * tap(x0i) + frac * tap(x1i)
+    fr = frac[..., None]
+    return (1.0 - fr) * tap(x0i) + fr * tap(x1i)
 
 
-def warp_with_left(left: jax.Array, right: jax.Array, disp_samples: jax.Array):
+def warp_with_left(
+    left: jax.Array,
+    right: jax.Array,
+    disp_samples: jax.Array,
+    impl: str = "onehot",
+    max_offset: int | None = None,
+):
     """Reference SpatialTransformer_grid return pair: (warped right, tiled left),
     both [B, D, H, W, C]."""
-    warped = disparity_warp(right, disp_samples)
+    warped = disparity_warp(right, disp_samples, impl=impl, max_offset=max_offset)
     d = disp_samples.shape[1]
     left_tiled = jnp.broadcast_to(left[:, None], (left.shape[0], d, *left.shape[1:]))
     return warped, left_tiled

@@ -1,8 +1,9 @@
-"""Mesh / sharding helpers for data- and disparity-plane parallelism."""
+"""Mesh / sharding helpers for data-, disparity-plane and spatial-tile parallelism."""
 
 from semstereo_tpu.parallel.mesh import (
     DATA_AXIS,
     DISP_AXIS,
+    SPATIAL_AXIS,
     batch_sharding,
     make_mesh,
     param_sharding_rules,
@@ -13,6 +14,7 @@ from semstereo_tpu.parallel.mesh import (
 __all__ = [
     "DATA_AXIS",
     "DISP_AXIS",
+    "SPATIAL_AXIS",
     "batch_sharding",
     "make_mesh",
     "param_sharding_rules",

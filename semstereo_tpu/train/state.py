@@ -40,7 +40,9 @@ def build_model(cfg: TrainConfig):
         cost_volume_impl=cfg.model.cost_volume_impl,
         att_window1=cfg.model.att_window1,
         att_window2=cfg.model.att_window2,
-        shard_disp=cfg.model.shard_disp,
+        # volume sharding constraints auto-activate with their mesh axes
+        shard_disp=cfg.model.shard_disp or cfg.parallel.disp > 1,
+        shard_spatial=cfg.model.shard_spatial or cfg.parallel.space > 1,
         remat=cfg.model.remat,
     )
 

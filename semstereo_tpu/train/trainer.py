@@ -38,9 +38,9 @@ _TRAIN_KEYS = ("left", "right", "disparity", "disparity_4", "label")
 _EVAL_KEYS = ("left", "right", "disparity", "label")
 
 
-def _device_batch(mesh, batch, keys):
+def _device_batch(mesh, batch, keys, spatial=False):
     sub = {k: batch[k] for k in keys if k in batch}
-    return shard_batch(mesh, sub)
+    return shard_batch(mesh, sub, spatial=spatial)
 
 
 class Trainer:
@@ -59,9 +59,9 @@ class Trainer:
             data = cfg.parallel.data
             if data == -1:
                 # auto: the per-host batch must divide the data axis
-                n_avail = len(jax.devices()) // cfg.parallel.disp
+                n_avail = len(jax.devices()) // (cfg.parallel.disp * cfg.parallel.space)
                 data = math.gcd(n_avail, cfg.data.batch_size)
-            mesh = make_mesh(data, cfg.parallel.disp)
+            mesh = make_mesh(data, cfg.parallel.disp, cfg.parallel.space)
         self.mesh = mesh
         self.writer = writer
         pidx, pcnt = jax.process_index(), jax.process_count()
@@ -114,6 +114,10 @@ class Trainer:
 
     # -- loops --------------------------------------------------------------
     def train(self):
+        with jax.sharding.set_mesh(self.mesh):
+            return self._train()
+
+    def _train(self):
         cfg = self.cfg
         if self.state is None:
             self.initialize()
@@ -123,7 +127,7 @@ class Trainer:
             self.train_loader.set_epoch(epoch)
             for it, batch in enumerate(self.train_loader):
                 t0 = time.time()
-                dev_batch = _device_batch(self.mesh, batch, _TRAIN_KEYS)
+                dev_batch = _device_batch(self.mesh, batch, _TRAIN_KEYS, self.cfg.parallel.space > 1)
                 self.state, scalars = self.train_step(self.state, dev_batch)
                 step = epoch * len(self.train_loader) + it
                 scalars = tensor2float(
@@ -140,15 +144,19 @@ class Trainer:
                 ckpt.save_checkpoint(cfg.logdir, self.state, epoch)
             self.state = self.state.replace(epoch=epoch + 1)
             if self.eval_loader is not None:
-                self.evaluate(epoch)
+                self._evaluate(epoch)
         return self.state
 
     def evaluate(self, epoch: int = 0) -> dict:
+        with jax.sharding.set_mesh(self.mesh):
+            return self._evaluate(epoch)
+
+    def _evaluate(self, epoch: int = 0) -> dict:
         cfg = self.cfg
         meters = AverageMeterDict()
         seg_meter = SegmentationMeter(cfg.model.num_classes - 1)
         for it, batch in enumerate(self.eval_loader):
-            dev_batch = _device_batch(self.mesh, batch, _EVAL_KEYS)
+            dev_batch = _device_batch(self.mesh, batch, _EVAL_KEYS, self.cfg.parallel.space > 1)
             scalars = self.eval_step(self.state, dev_batch)
             cm = scalars.pop("confusion", None)
             disp_est = scalars.pop("disp_est", None)

@@ -78,3 +78,26 @@ def test_lrsc_label_warp_matches_reference_gather(rng):
 
     out = np.asarray(lrsc_label_warp(label, disp))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_onehot_impls_match_gather(rng):
+    """MXU one-hot warp (full-W and banded) vs the take_along_axis path,
+    including out-of-image samples."""
+    b, c, h, w, nd = 2, 3, 4, 20, 5
+    right = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    disp = rng.uniform(-8, 8, (b, nd, h, w)).astype(np.float32)
+    ref = np.asarray(disparity_warp(right, disp, impl="gather"))
+    full = np.asarray(disparity_warp(right, disp, impl="onehot"))
+    banded = np.asarray(disparity_warp(right, disp, impl="onehot", max_offset=8))
+    np.testing.assert_allclose(full, ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(banded, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_take_along_last_onehot_matches_gather(rng):
+    from semstereo_tpu.ops.regression import take_along_last_onehot
+
+    x = rng.standard_normal((3, 5, 7, 12)).astype(np.float32)
+    ind = rng.integers(0, 12, (3, 5, 7, 4))
+    ref = np.take_along_axis(x, ind, axis=-1)
+    out = np.asarray(take_along_last_onehot(x, ind.astype(np.int32)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
