@@ -32,7 +32,20 @@ def scan_bench(fn, args, length: int):
     collapses to one execution (observed on TPU).  Instead the first carry
     leaf absorbs ``1e-30 * out[0]`` — numerically a no-op (rounds away at any
     practical magnitude/dtype) but an un-provable identity, so every
-    iteration must run."""
+    iteration must run.
+
+    The perturbed carry leaf must be floating point — an int leaf would cast
+    the 1e-30 bump to exactly 0 and XLA could hoist the loop-invariant body
+    again — so the first *inexact* leaf of the carry is chosen (and asserted
+    to exist)."""
+
+    flat0 = jax.tree_util.tree_leaves(args)
+    inexact = [
+        i for i, x in enumerate(flat0)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+    ]
+    assert inexact, "scan_bench needs at least one floating-point argument leaf"
+    pi = inexact[0]
 
     @jax.jit
     def run(args):
@@ -43,8 +56,9 @@ def scan_bench(fn, args, length: int):
             # body collapses to a cheap subexpression.
             leaf = jax.lax.optimization_barrier(jax.tree_util.tree_leaves(out)[0])
             s = leaf.ravel()[0]
-            first = carry[0] + (s * 1e-30).astype(carry[0].dtype)
-            return (first, *carry[1:]), ()
+            cflat, cdef = jax.tree_util.tree_flatten(carry)
+            cflat[pi] = cflat[pi] + (s * 1e-30).astype(cflat[pi].dtype)
+            return jax.tree_util.tree_unflatten(cdef, cflat), ()
 
         carry, _ = jax.lax.scan(body, args, None, length=length)
         return carry

@@ -28,15 +28,10 @@ from semstereo_tpu.models import SemStereo  # noqa: E402
 from semstereo_tpu.nn import MobileViTv2Backbone  # noqa: E402
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--height", type=int, default=1024)
-    p.add_argument("--width", type=int, default=1024)
-    p.add_argument("--dtype", default="bfloat16")
-    args = p.parse_args()
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+STAGES = ("backbone_x2", "seg_graph", "stage1_graph", "full_graph")
 
-    h, w = args.height, args.width
+
+def measure(stage: str, h: int, w: int, dtype) -> float:
     left = jnp.zeros((1, h, w, 3), dtype)
     right = jnp.zeros((1, h, w, 3), dtype)
 
@@ -45,40 +40,50 @@ def main():
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, v
         )
 
-    results = {}
+    if stage == "backbone_x2":
+        bb = MobileViTv2Backbone()
+        vb = cast(bb.init(jax.random.PRNGKey(0), left))
+        return timed_calibrated(
+            lambda l, r: bb.apply(vb, l)[0] + bb.apply(vb, r)[0], (left, right)
+        )
+    if stage == "seg_graph":
+        m = SemStereo(maxdisp=64, stereo_if=False)
+        v = cast(m.init(jax.random.PRNGKey(0), left, right))
+        return timed_calibrated(
+            lambda l, r: m.apply(v, l, r)["label_l"], (left, right)
+        )
+    if stage == "stage1_graph":
+        m = SemStereo(maxdisp=64, att_weights_only=True)
+        v = cast(m.init(jax.random.PRNGKey(0), left, right))
+        return timed_calibrated(
+            lambda l, r: m.apply(v, l, r)["disp"][0], (left, right)
+        )
+    m = SemStereo(maxdisp=64)
+    v = cast(m.init(jax.random.PRNGKey(0), left, right))
+    return timed_calibrated(lambda l, r: m.apply(v, l, r)["disp"][0], (left, right))
 
-    # 1. backbone alone (x2: both views)
-    bb = MobileViTv2Backbone()
-    vb = cast(bb.init(jax.random.PRNGKey(0), left))
-    results["backbone_x2"] = timed_calibrated(
-        lambda l, r: bb.apply(vb, l)[0] + bb.apply(vb, r)[0], (left, right)
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument(
+        "--stage", default=None, choices=STAGES,
+        help="measure a single prefix graph (one compile per process; the "
+        "persistent jit cache accumulates across invocations)",
     )
+    args = p.parse_args()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    # 2. seg-only model (backbone x2 + FeatUp + heads)
-    m_seg = SemStereo(maxdisp=64, stereo_if=False)
-    vs = cast(m_seg.init(jax.random.PRNGKey(0), left, right))
-    results["seg_graph"] = timed_calibrated(
-        lambda l, r: m_seg.apply(vs, l, r)["label_l"], (left, right)
-    )
-
-    # 3. stage-1 (attention-weights-only) full graph
-    m_s1 = SemStereo(maxdisp=64, att_weights_only=True)
-    v1 = cast(m_s1.init(jax.random.PRNGKey(0), left, right))
-    results["stage1_graph"] = timed_calibrated(
-        lambda l, r: m_s1.apply(v1, l, r)["disp"][0], (left, right)
-    )
-
-    # 4. full stage-2 graph
-    m_s2 = SemStereo(maxdisp=64)
-    v2 = cast(m_s2.init(jax.random.PRNGKey(0), left, right))
-    results["full_graph"] = timed_calibrated(
-        lambda l, r: m_s2.apply(v2, l, r)["disp"][0], (left, right)
-    )
-
-    out = {k: round(v * 1e3, 2) for k, v in results.items()}
-    out["delta_featup_heads"] = round(out["seg_graph"] - out["backbone_x2"], 2)
-    out["delta_stage1"] = round(out["stage1_graph"] - out["seg_graph"], 2)
-    out["delta_stage2_refine"] = round(out["full_graph"] - out["stage1_graph"], 2)
+    stages = [args.stage] if args.stage else list(STAGES)
+    out = {}
+    for s in stages:
+        out[s + "_ms"] = round(measure(s, args.height, args.width, dtype) * 1e3, 2)
+    if len(stages) == len(STAGES):
+        out["delta_featup_heads"] = round(out["seg_graph_ms"] - out["backbone_x2_ms"], 2)
+        out["delta_stage1"] = round(out["stage1_graph_ms"] - out["seg_graph_ms"], 2)
+        out["delta_stage2_refine"] = round(out["full_graph_ms"] - out["stage1_graph_ms"], 2)
     print(json.dumps(out))
 
 

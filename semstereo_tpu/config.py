@@ -136,6 +136,38 @@ def _sceneflow() -> TrainConfig:
     )
 
 
+def _kitti() -> TrainConfig:
+    """KITTI-2015 with semantic labels (reference datasets/kitti_dataset_15.py:
+    512x256 lower-biased crop, 19-class map)."""
+    return TrainConfig(
+        model=ModelConfig(name="SemStereo", maxdisp=64, num_classes=19),
+        data=DataConfig(
+            dataset="kitti", datapath="data/kitti",
+            trainlist="filenames/kitti15_train.txt",
+            testlist="filenames/kitti15_val.txt",
+            crop_size=(256, 512),
+        ),
+        loss=LossConfig(use_seg=True, use_lrsc=True, ignore_index=255),
+        logdir="checkpoints/kitti",
+    )
+
+
+def _cityscapes() -> TrainConfig:
+    """Cityscapes stereo+semantics (reference datasets/cityscapes_dataset_c.py,
+    incl. RandomVdisp vertical-disparity augmentation)."""
+    return TrainConfig(
+        model=ModelConfig(name="SemStereo", maxdisp=64, num_classes=19),
+        data=DataConfig(
+            dataset="cityscapes", datapath="data/cityscapes",
+            trainlist="filenames/cityscapes_train.txt",
+            testlist="filenames/cityscapes_val.txt",
+            crop_size=(256, 512),
+        ),
+        loss=LossConfig(use_seg=True, use_lrsc=True, ignore_index=255),
+        logdir="checkpoints/cityscapes",
+    )
+
+
 PRESETS = {
     "us3d_stage1": _us3d(True),
     "us3d_stage2": _us3d(False),
@@ -144,6 +176,8 @@ PRESETS = {
     "whu_lrsc_stage1": _whu(True, True),
     "whu_lrsc_stage2": _whu(False, True),
     "sceneflow": _sceneflow(),
+    "kitti": _kitti(),
+    "cityscapes": _cityscapes(),
 }
 
 

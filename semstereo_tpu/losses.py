@@ -65,12 +65,21 @@ def dice_loss(logits, labels, num_classes: int, ignore_index: int | None = 5):
     (reference dice_loss/multiclass_dice_coeff, loss.py:33-67).
 
     Per (batch*class) dice over spatial dims, averaged, eps=1e-6; pairs whose
-    union is 0 get dice = 1 (the reference's sets_sum==0 -> inter swap)."""
+    union is 0 get dice = 1 (the reference's sets_sum==0 -> inter swap).
+
+    ignore_index inside [0, num_classes) drops that class channel (the
+    reference's US3D case: ignore 5 == last of 6); an out-of-range id
+    (KITTI/Cityscapes 255) instead masks the ignored pixels out of the union
+    (one_hot already zeroes them in the intersection)."""
     prob = jax.nn.softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=prob.dtype)
-    if ignore_index is not None:
-        prob = prob[..., :-1]
-        onehot = onehot[..., :-1]
+    if ignore_index is not None and 0 <= ignore_index < num_classes:
+        keep = [i for i in range(num_classes) if i != ignore_index]
+        prob = prob[..., keep]
+        onehot = onehot[..., keep]
+    elif ignore_index is not None:
+        valid = (labels != ignore_index)[..., None].astype(prob.dtype)
+        prob = prob * valid
     inter = 2.0 * jnp.sum(prob * onehot, axis=(1, 2))  # [B, C']
     sets = jnp.sum(prob, axis=(1, 2)) + jnp.sum(onehot, axis=(1, 2))
     sets = jnp.where(sets == 0, inter, sets)

@@ -200,10 +200,17 @@ class SemStereo(nn.Module):
         conf_samples = propagate5(conf)  # [B, 5, H4, W4]
         disp_samples = propagate5(pred_att)
 
-        # |disp| at /4 is bounded by the regression range -> banded warp
-        max_off = d4 // 2 if self.symmetric else d4
+        # disp at /4 is bounded by the regression range -> banded warp.
+        # Symmetric (US3D): d in [-d4/2, d4/2) -> source offsets in [-d4/2, d4/2].
+        # Positive-only (WHU): d in [0, d4) -> offsets only in [-d4, 0]; the
+        # asymmetric band halves the warp contraction width.
+        if self.symmetric:
+            min_off, max_off = -(d4 // 2), d4 // 2
+        else:
+            min_off, max_off = -d4, 0
         warped_r, tiled_l = warp_with_left(
-            fl[1], fr1, disp_samples, impl=self.warp_impl, max_offset=max_off
+            fl[1], fr1, disp_samples, impl=self.warp_impl,
+            max_offset=max_off, min_offset=min_off,
         )
         strength = jnp.mean(tiled_l * warped_r, axis=-1)  # [B, 5, H4, W4]
         strength = jax.nn.softmax(strength * conf_samples, axis=1)
@@ -226,7 +233,8 @@ class SemStereo(nn.Module):
             lc = concat_feature(fl[1], train)
             rc = concat_feature(fr1, train)
             warped_rc, tiled_lc = warp_with_left(
-                lc, rc, samples, impl=self.warp_impl, max_offset=max_off
+                lc, rc, samples, impl=self.warp_impl,
+                max_offset=max_off, min_offset=min_off,
             )
             concat_volume = jnp.concatenate([tiled_lc, warped_rc], axis=-1)
 

@@ -22,6 +22,7 @@ def disparity_warp(
     disp_samples: jax.Array,
     impl: str = "onehot",
     max_offset: int | None = None,
+    min_offset: int | None = None,
 ) -> jax.Array:
     """Warp right features to D disparity hypotheses.
 
@@ -33,18 +34,29 @@ def disparity_warp(
     impl='onehot' (default): the bilinear two-tap selection is expressed as a
     sparse selection matrix contracted on the MXU — TPU gathers stream at
     ~18 GB/s while this runs at matmul rate.  When ``max_offset`` is given
-    (|disp| bound at this scale, e.g. maxdisp//4), the contraction runs over
-    a (2*max_offset+2)-column band of statically shifted copies of ``right``
-    instead of all W source columns — a "dynamic local filter" along W.
+    (floor-tap source-offset bound at this scale, e.g. maxdisp//4), the
+    contraction runs over a band of statically shifted copies of ``right``
+    covering source offsets [min_offset, max_offset + 1] instead of all W
+    source columns — a "dynamic local filter" along W.  ``min_offset``
+    defaults to ``-max_offset`` (symmetric ranges); positive-only disparity
+    configs (WHU) pass ``min_offset=-d, max_offset=0`` so the band is d+2
+    wide instead of 2d+2 (the positive-offset half can never match).
     Out-of-band / out-of-image taps match nothing or hit the zero padding,
     giving grid_sample's zeros padding for free.
 
     impl='gather': take_along_axis reference path (oracle for parity tests).
+
+    Coordinates are always computed in float32 regardless of feature dtype:
+    bf16 ulp is 1.0 for |x| >= 128, so bf16 xs/frac would collapse bilinear
+    weights to nearest-neighbor over most of a >=512px-wide image (torch AMP
+    likewise keeps grid_sample fp32).  Only the contraction weights are cast
+    to the feature dtype at the end.
     """
     b, h, w, c = right.shape
-    xs = jnp.arange(w, dtype=disp_samples.dtype)[None, None, None, :] - disp_samples
+    disp = disp_samples.astype(jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, None, :] - disp
     x0 = jnp.floor(xs)
-    frac = xs - x0  # [B, D, H, W]
+    frac = xs - x0  # [B, D, H, W] float32
     x0i = x0.astype(jnp.int32)
     x1i = x0i + 1
 
@@ -57,16 +69,18 @@ def disparity_warp(
             ] * (x1i[..., None] == cols)
             return jnp.einsum("bdhwv,bhvc->bdhwc", wmat.astype(right.dtype), right)
 
-        # banded: source column = w + o with o in [-m, m+1]
-        m = int(max_offset)
-        n_off = 2 * m + 2
-        # shifted[b,h,w,o,c] = right[b,h,w+o-m,c], zero outside the image
-        padded = jnp.pad(right, ((0, 0), (0, 0), (m, m + 1), (0, 0)))
+        # banded: source column = col + o with o in [lo, hi+1]
+        hi = int(max_offset)
+        lo = -hi if min_offset is None else int(min_offset)
+        assert lo <= 0 <= hi + 1, (lo, hi)
+        n_off = hi - lo + 2
+        # shifted[b,h,w,o,c] = right[b,h,w+lo+o,c], zero outside the image
+        padded = jnp.pad(right, ((0, 0), (0, 0), (-lo, hi + 1), (0, 0)))
         shifted = jnp.stack(
             [padded[:, :, o : o + w] for o in range(n_off)], axis=3
         )  # [B, H, W, O, C]
         cols = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
-        o0 = x0i - cols + m  # band index of the floor tap
+        o0 = x0i - cols - lo  # band index of the floor tap
         orange = jnp.arange(n_off, dtype=jnp.int32)
         wrel = (1.0 - frac)[..., None] * (o0[..., None] == orange) + frac[
             ..., None
@@ -82,7 +96,7 @@ def disparity_warp(
         v = jnp.take_along_axis(right[:, None], idx[..., None], axis=3)
         return jnp.where(valid[..., None], v, 0.0)
 
-    fr = frac[..., None]
+    fr = frac.astype(right.dtype)[..., None]
     return (1.0 - fr) * tap(x0i) + fr * tap(x1i)
 
 
@@ -92,10 +106,13 @@ def warp_with_left(
     disp_samples: jax.Array,
     impl: str = "onehot",
     max_offset: int | None = None,
+    min_offset: int | None = None,
 ):
     """Reference SpatialTransformer_grid return pair: (warped right, tiled left),
     both [B, D, H, W, C]."""
-    warped = disparity_warp(right, disp_samples, impl=impl, max_offset=max_offset)
+    warped = disparity_warp(
+        right, disp_samples, impl=impl, max_offset=max_offset, min_offset=min_offset
+    )
     d = disp_samples.shape[1]
     left_tiled = jnp.broadcast_to(left[:, None], (left.shape[0], d, *left.shape[1:]))
     return warped, left_tiled
@@ -109,6 +126,6 @@ def lrsc_label_warp(label: jax.Array, disp: jax.Array) -> jax.Array:
     /root/reference/models/loss.py:129-133.
     """
     b, h, w = label.shape
-    xs = jnp.arange(w, dtype=disp.dtype)[None, None, :] - disp
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] - disp.astype(jnp.float32)
     xi = jnp.clip(xs, 0.0, float(w - 1)).astype(jnp.int32)
     return jnp.take_along_axis(label, xi, axis=2)

@@ -51,14 +51,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Batch keys whose axis 1 is image height (shardable over `space`).  Explicit
+# so a future rank>=3 key with a non-spatial axis 1 (e.g. [B, K, C]) is never
+# silently mis-sharded.
+SPATIAL_KEYS = frozenset(
+    {
+        "left", "right", "disparity", "disparity_4", "disparity_8",
+        "disparity_16", "label", "label_2", "label_4", "gx", "gy",
+    }
+)
+
+
 def shard_batch(mesh: Mesh, batch, spatial: bool = False):
-    """Device-put a host batch: batch axis over ``data``, optionally height
-    (axis 1 of every [B, H, ...] array) over ``space``."""
+    """Device-put a host batch: batch axis over ``data``; with ``spatial``,
+    height (axis 1) of every known image-like key over ``space``."""
     s = batch_sharding(mesh, spatial)
     flat = batch_sharding(mesh, False)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, s if (spatial and x.ndim >= 3) else flat), batch
-    )
+    n_space = mesh.shape[SPATIAL_AXIS]
+
+    def put(path, x):
+        key = path[-1].key if path and hasattr(path[-1], "key") else None
+        if spatial and x.ndim >= 3 and key in SPATIAL_KEYS:
+            assert x.shape[1] % n_space == 0, (
+                f"batch['{key}'] height {x.shape[1]} is not divisible by the "
+                f"mesh 'space' axis ({n_space}); pad H or shrink the axis"
+            )
+            return jax.device_put(x, s)
+        return jax.device_put(x, flat)
+
+    return jax.tree_util.tree_map_with_path(put, batch)
 
 
 def param_sharding_rules(mesh: Mesh, params):

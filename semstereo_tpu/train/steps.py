@@ -98,12 +98,16 @@ def make_train_step(cfg: TrainConfig):
 
     def loss_fn(params, batch_stats, batch):
         # Mixed precision: fp32 master params, bf16 compute.  The casts are
-        # differentiable, so gradients come back fp32; losses/metrics and BN
-        # running stats stay fp32.
+        # differentiable, so gradients come back fp32.  batch_stats are passed
+        # uncast: flax BatchNorm computes batch mean/var in fp32 and the
+        # running-average momentum update then stays entirely fp32 (a bf16
+        # EMA would quantize the stats to ~0.4% relative each step); BN
+        # outputs still land in bf16 because flax canonicalizes the output
+        # dtype from (x, scale, bias) only.
         out, mut = model.apply(
             {
                 "params": _cast_floats(params, dtype),
-                "batch_stats": _cast_floats(batch_stats, dtype),
+                "batch_stats": batch_stats,
             },
             batch["left"].astype(dtype),
             batch["right"].astype(dtype),
@@ -112,10 +116,7 @@ def make_train_step(cfg: TrainConfig):
         )
         out = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), out)
         total, aux, mask = assemble_train_loss(cfg, out, batch)
-        new_bs = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.float32), mut["batch_stats"]
-        )
-        return total, (new_bs, aux, out, mask)
+        return total, (mut["batch_stats"], aux, out, mask)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
@@ -155,7 +156,7 @@ def make_eval_step(cfg: TrainConfig):
         out = model.apply(
             {
                 "params": _cast_floats(state.params, dtype),
-                "batch_stats": _cast_floats(state.batch_stats, dtype),
+                "batch_stats": state.batch_stats,
             },
             batch["left"].astype(dtype),
             batch["right"].astype(dtype),

@@ -93,6 +93,44 @@ def test_onehot_impls_match_gather(rng):
     np.testing.assert_allclose(banded, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_asymmetric_band_matches_gather(rng):
+    """Positive-only (WHU) disparities use a [-d, 1] band half as wide as the
+    symmetric one; must still match the gather oracle exactly."""
+    b, c, h, w, nd = 2, 3, 4, 20, 5
+    right = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    disp = rng.uniform(0, 8, (b, nd, h, w)).astype(np.float32)
+    ref = np.asarray(disparity_warp(right, disp, impl="gather"))
+    banded = np.asarray(
+        disparity_warp(right, disp, impl="onehot", max_offset=0, min_offset=-8)
+    )
+    np.testing.assert_allclose(banded, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_warp_keeps_fp32_coordinates(rng):
+    """bf16 features at large W: coordinates/weights must be computed fp32 —
+    bf16 xs would round to whole pixels for x >= 128 and degrade the warp to
+    nearest-neighbor (ADVICE r1)."""
+    import jax.numpy as jnp
+
+    b, c, h, w = 1, 2, 2, 256
+    right = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    disp = np.full((b, 1, h, w), 0.5, dtype=np.float32)
+    ref = np.asarray(disparity_warp(right, disp, impl="gather"))
+    out = np.asarray(
+        disparity_warp(
+            jnp.asarray(right, jnp.bfloat16),
+            jnp.asarray(disp, jnp.bfloat16),
+            impl="onehot",
+            max_offset=4,
+        )
+    ).astype(np.float32)
+    # bf16 features: ~1e-2 feature precision, but the 0.5/0.5 blend must be
+    # present everywhere (nearest-neighbor would give exact right-column hits).
+    np.testing.assert_allclose(out[:, :, :, 8:], ref[:, :, :, 8:], atol=0.05)
+    nn_err = np.abs(out[0, 0, :, 1:] - right[0, :, :-1]).max()
+    assert nn_err > 0.05, "warp degraded to nearest-neighbor under bf16"
+
+
 def test_take_along_last_onehot_matches_gather(rng):
     from semstereo_tpu.ops.regression import take_along_last_onehot
 
