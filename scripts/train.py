@@ -60,6 +60,10 @@ def main():
     p.add_argument("--lr", type=float)
     p.add_argument("--lrepochs")
     p.add_argument("--batch-size", type=int)
+    p.add_argument(
+        "--grad-accum", type=int,
+        help="microbatches per optimizer step (activation-memory relief)",
+    )
     p.add_argument("--maxdisp", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--num-workers", type=int)
@@ -95,7 +99,10 @@ def main():
     }
     optim_kw = {
         k: v
-        for k, v in dict(lr=args.lr, epochs=args.epochs, lrepochs=args.lrepochs).items()
+        for k, v in dict(
+            lr=args.lr, epochs=args.epochs, lrepochs=args.lrepochs,
+            grad_accum=args.grad_accum,
+        ).items()
         if v is not None
     }
     model_kw = {k: v for k, v in dict(maxdisp=args.maxdisp).items() if v is not None}

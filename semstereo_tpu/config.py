@@ -57,6 +57,11 @@ class OptimConfig:
     epochs: int = 48
     # "12,22,30,38,44:2" => divide lr by 2 at each listed epoch (cumulative)
     lrepochs: str = "12,22,30,38,44:2"
+    # Gradient accumulation: split each batch into N microbatches scanned
+    # sequentially (mean gradient, one optimizer update).  Trades step latency
+    # for activation memory — lets maxdisp-128 full-res configs train with the
+    # reference's global batch on fewer chips.
+    grad_accum: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

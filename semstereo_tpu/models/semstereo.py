@@ -58,22 +58,19 @@ CHANS2 = (64, 128, 256, 384, 256)
 
 
 class FeatUp(nn.Module):
-    """Top-down FPN of deconv Conv2x stages, shared across left/right
-    (reference SemStereo.py:59-86)."""
+    """Top-down FPN of deconv Conv2x stages (reference SemStereo.py:59-86).
+
+    Operates on ONE pyramid; the model shares it across views — called twice
+    (train) or once on a view-stacked batch (eval), with identical params."""
 
     @nn.compact
-    def __call__(self, feat_l, feat_r, train: bool = False):
-        x2, x4, x8, x16, x32 = feat_l
-        y2, y4, y8, y16, y32 = feat_r
-        d32_16 = Conv2x(384, deconv=True, name="deconv32_16")
-        d16_8 = Conv2x(256, deconv=True, name="deconv16_8")
-        d8_4 = Conv2x(128, deconv=True, name="deconv8_4")
-        d4_2 = Conv2x(64, deconv=True, name="deconv4_2")
-        x16, y16 = d32_16(x32, x16, train), d32_16(y32, y16, train)
-        x8, y8 = d16_8(x16, x8, train), d16_8(y16, y8, train)
-        x4, y4 = d8_4(x8, x4, train), d8_4(y8, y4, train)
-        x2, y2 = d4_2(x4, x2, train), d4_2(y4, y2, train)
-        return [x2, x4, x8, x16, x32], [y2, y4, y8, y16, y32]
+    def __call__(self, feats, train: bool = False):
+        x2, x4, x8, x16, x32 = feats
+        x16 = Conv2x(384, deconv=True, name="deconv32_16")(x32, x16, train)
+        x8 = Conv2x(256, deconv=True, name="deconv16_8")(x16, x8, train)
+        x4 = Conv2x(128, deconv=True, name="deconv8_4")(x8, x4, train)
+        x2 = Conv2x(64, deconv=True, name="deconv4_2")(x4, x2, train)
+        return [x2, x4, x8, x16, x32]
 
 
 class SemStereo(nn.Module):
@@ -99,6 +96,10 @@ class SemStereo(nn.Module):
     # When True, annotate cost volumes with a height-tile sharding over the
     # mesh's 'space' axis (spatial parallelism; GSPMD adds conv halo exchange).
     shard_spatial: bool = False
+    # Batch the two views through the shared front end (backbone/FeatUp/chal)
+    # in eval mode.  None => automatic (fused when train=False); False forces
+    # the two-pass path (parity testing).
+    fuse_views: bool | None = None
     # Rematerialize the backbone and 3-D hourglasses on the backward pass —
     # trades ~1/3 extra FLOPs for the activation memory of the stage-2
     # [B, 24, H/4, W/4, 64] volume pipeline (SURVEY.md section 7 'Memory').
@@ -136,9 +137,22 @@ class SemStereo(nn.Module):
             nn.remat(Hourglass3D, static_argnums=(2,)) if self.remat else Hourglass3D
         )
         backbone = backbone_cls(name="feature")
-        feat_l = backbone(left, train)
-        feat_r = backbone(right, train)
-        feat_l, feat_r = FeatUp(name="feature_up")(feat_l, feat_r, train)
+        featup = FeatUp(name="feature_up")
+        b = left.shape[0]
+        # Eval: batch both views through the shared front end — BN uses
+        # running stats so results are identical to two passes, but kernel
+        # count halves and every conv runs at 2x batch (better MXU shapes at
+        # B=1 serving).  Train keeps two passes: reference DataParallel
+        # computes BN batch stats per feature() call (SURVEY.md section 2.6).
+        fuse_views = (not train) if self.fuse_views is None else (self.fuse_views and not train)
+        if fuse_views:
+            feats = featup(backbone(jnp.concatenate([left, right], axis=0), train), train)
+            feat_l = [f[:b] for f in feats]
+            feat_r = [f[b:] for f in feats]
+        else:
+            feats = None
+            feat_l = featup(backbone(left, train), train)
+            feat_r = featup(backbone(right, train), train)
 
         out: dict[str, Any] = {}
         if self.seg_if:
@@ -156,9 +170,19 @@ class SemStereo(nn.Module):
             ConvBn(CHANS2[i], 1, padding=0, use_bias=True, name=f"chal_{i}")
             for i in range(5)
         ]
-        fl = [chal[i](feat_l[i], train) for i in range(5)]
-        fr1 = chal[1](feat_r[1], train)
-        fr2 = chal[2](feat_r[2], train)
+        if fuse_views:
+            # levels 1/2 feed both views: reduce on the stacked batch
+            c1 = chal[1](feats[1], train)
+            c2 = chal[2](feats[2], train)
+            fl = [
+                chal[0](feat_l[0], train), c1[:b], c2[:b],
+                chal[3](feat_l[3], train), chal[4](feat_l[4], train),
+            ]
+            fr1, fr2 = c1[b:], c2[b:]
+        else:
+            fl = [chal[i](feat_l[i], train) for i in range(5)]
+            fr1 = chal[1](feat_r[1], train)
+            fr2 = chal[2](feat_r[2], train)
 
         # --- superpixel weight chain -> full-res spx weights ---
         xspx = Conv2x(CHANS2[3], deconv=True, name="spx32_16")(fl[4], fl[3], train)
@@ -230,8 +254,12 @@ class SemStereo(nn.Module):
         if not self.att_weights_only:
             # --- stage 2: top-k-sampled concat volume refinement at /4 ---
             concat_feature = _ConcatFeature(name="concat_feature")
-            lc = concat_feature(fl[1], train)
-            rc = concat_feature(fr1, train)
+            if fuse_views:
+                cc = concat_feature(jnp.concatenate([fl[1], fr1], axis=0), train)
+                lc, rc = cc[:b], cc[b:]
+            else:
+                lc = concat_feature(fl[1], train)
+                rc = concat_feature(fr1, train)
             warped_rc, tiled_lc = warp_with_left(
                 lc, rc, samples, impl=self.warp_impl,
                 max_offset=max_off, min_offset=min_off,

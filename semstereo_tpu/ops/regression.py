@@ -64,14 +64,16 @@ def topk_planes(weights: jax.Array, k: int, symmetric: bool):
     """
     d = weights.shape[1]
     assert k <= d, (k, d)
-    prob = jax.nn.softmax(weights, axis=1)
-    # top_k over the last axis -> move D last
-    prob_l = jnp.moveaxis(prob, 1, -1)  # [B, H, W, D]
-    _, ind = jax.lax.top_k(prob_l, k)  # descending by prob
+    # top_k over the last axis -> move D last.  softmax is monotonic, so
+    # top-k on raw weights picks the same planes; the kept probabilities are
+    # recovered from the logsumexp instead of materializing the full-volume
+    # softmax (saves one [B,D,H,W] round-trip + a second one-hot contraction).
+    raw_l = jnp.moveaxis(weights, 1, -1)  # [B, H, W, D]
+    _, ind = jax.lax.top_k(raw_l, k)  # descending by weight
     ind = jnp.sort(ind, axis=-1)  # ascending plane order
-    topk_prob = take_along_last_onehot(prob_l, ind)
-    raw_l = jnp.moveaxis(weights, 1, -1)
     topk_raw = take_along_last_onehot(raw_l, ind)
+    lse = jax.scipy.special.logsumexp(raw_l, axis=-1, keepdims=True)
+    topk_prob = jnp.exp(topk_raw - lse)
     offset = d // 2 if symmetric else 0
     samples = ind.astype(weights.dtype) - offset
     to_bdhw = lambda x: jnp.moveaxis(x, -1, 1)

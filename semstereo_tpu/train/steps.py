@@ -118,11 +118,45 @@ def make_train_step(cfg: TrainConfig):
         total, aux, mask = assemble_train_loss(cfg, out, batch)
         return total, (mut["batch_stats"], aux, out, mask)
 
+    accum = max(int(cfg.optim.grad_accum), 1)
+
+    def grads_single(params, batch_stats, batch):
+        return jax.grad(loss_fn, has_aux=True)(params, batch_stats, batch)
+
+    def grads_accum(params, batch_stats, batch):
+        """Microbatch scan: mean gradient over `accum` chunks of the leading
+        axis; BN stats thread through sequentially (matching torch semantics
+        where each sub-step updates the running average)."""
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]), batch
+        )
+
+        def body(carry, mb):
+            bs, acc = carry
+            g, (new_bs, aux, out, mask) = jax.grad(loss_fn, has_aux=True)(
+                params, bs, mb
+            )
+            acc = jax.tree_util.tree_map(jnp.add, acc, g)
+            return (new_bs, acc), (aux, out, mask)
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (new_bs, gsum), (auxs, outs, masks) = jax.lax.scan(
+            body, (batch_stats, zeros), micro
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        # report scalars/metrics from the microbatch mean / concatenation
+        aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
+        out = jax.tree_util.tree_map(
+            lambda o: o.reshape(o.shape[0] * o.shape[1], *o.shape[2:]), outs
+        )
+        mask = masks.reshape(masks.shape[0] * masks.shape[1], *masks.shape[2:])
+        return grads, (new_bs, aux, out, mask)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
-        grads, (new_bs, aux, out, mask) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
-        )
+        grads, (new_bs, aux, out, mask) = (
+            grads_single if accum == 1 else grads_accum
+        )(state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gt = _display_gt(batch["disparity"])

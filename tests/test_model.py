@@ -50,6 +50,23 @@ def test_eval_full_mode(full_model):
     assert np.all(np.isfinite(np.asarray(out["disp"][0])))
 
 
+def test_fused_views_matches_two_pass_eval(full_model):
+    """Eval batches both views through the shared front end; with BN on
+    running stats this must equal the two-pass path to float tolerance."""
+    m, variables, left, right = full_model
+    fused = m.apply(variables, left, right, train=False)
+    m2 = m.clone(fuse_views=False)
+    twopass = m2.apply(variables, left, right, train=False)
+    np.testing.assert_allclose(
+        np.asarray(fused["disp"][0]), np.asarray(twopass["disp"][0]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["label_l"]), np.asarray(twopass["label_l"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_att_weights_only_mode():
     m, variables, left, right = build(SemStereo, att_weights_only=True)
     out, _ = m.apply(variables, left, right, train=True, mutable=["batch_stats"])
