@@ -64,6 +64,10 @@ def main():
         "--grad-accum", type=int,
         help="microbatches per optimizer step (activation-memory relief)",
     )
+    p.add_argument(
+        "--grad-clip", type=float,
+        help="global-norm gradient clip (0 = off, reference parity)",
+    )
     p.add_argument("--maxdisp", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--num-workers", type=int)
@@ -101,7 +105,7 @@ def main():
         k: v
         for k, v in dict(
             lr=args.lr, epochs=args.epochs, lrepochs=args.lrepochs,
-            grad_accum=args.grad_accum,
+            grad_accum=args.grad_accum, grad_clip=args.grad_clip,
         ).items()
         if v is not None
     }

@@ -62,6 +62,11 @@ class OptimConfig:
     # for activation memory — lets maxdisp-128 full-res configs train with the
     # reference's global batch on fewer chips.
     grad_accum: int = 1
+    # Global-norm gradient clip; 0 disables (reference parity).  Useful in
+    # practice: the cosine cost-volume eps (1e-5, submodule.py:219) lets
+    # gradients through dead-ReLU feature groups spike to ~1/eps at early
+    # steps, and a clip bounds those without changing steady-state training.
+    grad_clip: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

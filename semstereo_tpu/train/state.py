@@ -48,9 +48,12 @@ def build_model(cfg: TrainConfig):
 
 
 def build_optimizer(cfg: TrainConfig):
-    return optax.inject_hyperparams(optax.adam)(
+    adam = optax.inject_hyperparams(optax.adam)(
         learning_rate=cfg.optim.lr, b1=cfg.optim.betas[0], b2=cfg.optim.betas[1]
     )
+    if cfg.optim.grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.optim.grad_clip), adam)
+    return adam
 
 
 def init_state(cfg: TrainConfig, sample_shape: tuple[int, int, int, int]) -> TrainState:
@@ -71,9 +74,20 @@ def init_state(cfg: TrainConfig, sample_shape: tuple[int, int, int, int]) -> Tra
 def set_learning_rate(state: TrainState, cfg: TrainConfig, epoch: int) -> TrainState:
     """Apply the reference's epoch-indexed piecewise-constant decay."""
     lr = lr_for_epoch(cfg.optim.lr, epoch, cfg.optim.lrepochs)
-    hyper = dict(state.opt_state.hyperparams)
-    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return state.replace(opt_state=state.opt_state._replace(hyperparams=hyper))
+
+    def with_lr(opt_state):
+        # inject_hyperparams state directly, or nested inside an optax.chain
+        # tuple when grad_clip is enabled.
+        if hasattr(opt_state, "hyperparams"):
+            hyper = dict(opt_state.hyperparams)
+            hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return opt_state._replace(hyperparams=hyper)
+        assert isinstance(opt_state, tuple), type(opt_state)
+        return tuple(
+            with_lr(s) if hasattr(s, "hyperparams") else s for s in opt_state
+        )
+
+    return state.replace(opt_state=with_lr(state.opt_state))
 
 
 def merge_partial_params(current, loaded):

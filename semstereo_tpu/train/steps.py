@@ -90,10 +90,14 @@ def assemble_train_loss(cfg: TrainConfig, out, batch):
     return total, aux, mask
 
 
-def make_train_step(cfg: TrainConfig):
-    """Returns train_step(state, batch) -> (state, scalars)."""
-    model = build_model(cfg)
-    tx = build_optimizer(cfg)
+def make_grads_fn(cfg: TrainConfig, model=None):
+    """Returns grads(params, batch_stats, batch) ->
+    (grads, (new_batch_stats, aux, out, mask)) — the gradient part of the train
+    step, honoring cfg.optim.grad_accum (microbatch scan).  Exposed separately
+    so tests can assert the accumulation identity
+    ``grads_accum(batch) == mean_i grads_single(microbatch_i)`` exactly."""
+    if model is None:
+        model = build_model(cfg)
     dtype = _compute_dtype(cfg)
 
     def loss_fn(params, batch_stats, batch):
@@ -152,11 +156,20 @@ def make_train_step(cfg: TrainConfig):
         mask = masks.reshape(masks.shape[0] * masks.shape[1], *masks.shape[2:])
         return grads, (new_bs, aux, out, mask)
 
+    return grads_single if accum == 1 else grads_accum
+
+
+def make_train_step(cfg: TrainConfig):
+    """Returns train_step(state, batch) -> (state, scalars)."""
+    model = build_model(cfg)
+    tx = build_optimizer(cfg)
+    grads_fn = make_grads_fn(cfg, model)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
-        grads, (new_bs, aux, out, mask) = (
-            grads_single if accum == 1 else grads_accum
-        )(state.params, state.batch_stats, batch)
+        grads, (new_bs, aux, out, mask) = grads_fn(
+            state.params, state.batch_stats, batch
+        )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gt = _display_gt(batch["disparity"])

@@ -145,33 +145,77 @@ def test_bf16_remat_train_step(tiny_state):
 
 
 def test_grad_accum_matches_single_step(tiny_state):
-    """grad_accum=2 over a 4-sample batch approximates the one-shot step:
-    synthetic samples are fully valid so mean-of-microbatch-means equals the
-    global masked mean, but train-mode BN normalizes each microbatch with its
-    own statistics (exactly like sequential torch sub-steps), so losses and
-    Adam update directions agree only loosely."""
+    """grad_accum=2 over a 4-sample batch: (a) the accumulated gradient equals
+    the mean of independently computed per-microbatch gradients — an exact
+    identity of the scan machinery (train-mode BN normalizes each microbatch
+    with its own statistics, so each micrograd is independent of the carried
+    running stats) — and (b) the reported loss/EPE match the one-shot step.
+
+    The two steps' *gradients* are NOT compared element-wise: the reference's
+    cosine cost-volume eps (1e-5) makes gradients through dead-ReLU feature
+    groups spike to ~1/eps at random init, so full-batch-BN vs microbatch-BN
+    gradient directions decorrelate — faithful to torch sub-step semantics,
+    not an accumulation bug."""
+    from semstereo_tpu.train.steps import make_grads_fn
+
     batch = to_dev(make_batch(bs=4))
+    cfgA = TINY.replace(optim=OptimConfig(lr=1e-3, grad_accum=2))
+    grads1 = jax.jit(make_grads_fn(TINY))
+    gradsA = jax.jit(make_grads_fn(cfgA))
+
+    s = tiny_state
+    gacc, (bsA, auxA, _, _) = gradsA(s.params, s.batch_stats, batch)
+    mb1 = {k: v[:2] for k, v in batch.items()}
+    mb2 = {k: v[2:] for k, v in batch.items()}
+    g1, (bs1, _, _, _) = grads1(s.params, s.batch_stats, mb1)
+    g2, _ = grads1(s.params, s.batch_stats, mb2)
+    for pth, ga, gb1, gb2 in zip(
+        jax.tree_util.tree_leaves_with_path(gacc),
+        jax.tree_util.tree_leaves(g1),
+        jax.tree_util.tree_leaves(g2),
+        strict=True,
+    ):
+        mean = (np.asarray(gb1) + np.asarray(gb2)) / 2
+        np.testing.assert_allclose(
+            np.asarray(pth[1]), mean, rtol=1e-4, atol=1e-4 * max(np.abs(mean).max(), 1.0),
+            err_msg=jax.tree_util.keystr(pth[0]),
+        )
+
+    # loss/metric reporting agrees with the one-shot step (masked means over
+    # fully-valid synthetic samples => mean of microbatch means == global mean)
     step1 = make_train_step(TINY)
-    stepA = make_train_step(TINY.replace(optim=OptimConfig(lr=1e-3, grad_accum=2)))
-    s0 = clone_state(tiny_state)
-    s1, scal1 = step1(clone_state(tiny_state), batch)
-    sA, scalA = stepA(clone_state(tiny_state), batch)
+    stepA = make_train_step(cfgA)
+    _, scal1 = step1(clone_state(tiny_state), batch)
+    _, scalA = stepA(clone_state(tiny_state), batch)
     np.testing.assert_allclose(float(scal1["loss"]), float(scalA["loss"]), rtol=0.05)
     np.testing.assert_allclose(float(scal1["EPE"]), float(scalA["EPE"]), rtol=0.05)
-    # Adam's first step is +-lr * sign(m), so any BN-stat difference flips the
-    # sign of near-zero gradients — element-wise delta comparison is
-    # meaningless.  Check update signs agree on the overwhelming majority of
-    # coordinates instead.
-    flat1 = jax.tree_util.tree_leaves(s1.params)
-    flatA = jax.tree_util.tree_leaves(sA.params)
-    flat0 = jax.tree_util.tree_leaves(s0.params)
-    agree = total = 0
-    for a, b, orig in zip(flat1, flatA, flat0):
-        da = np.sign(np.asarray(a) - np.asarray(orig))
-        db = np.sign(np.asarray(b) - np.asarray(orig))
-        agree += int(np.sum(da == db))
-        total += da.size
-    assert agree / total > 0.95, f"update sign agreement {agree / total:.3f}"
+
+
+def test_grad_clip_bounds_update(tiny_state):
+    """grad_clip chains clip_by_global_norm before Adam; the epoch-LR setter
+    must still find the injected hyperparams inside the chain tuple."""
+    from semstereo_tpu.train.state import init_state as _init
+
+    cfg = TINY.replace(optim=OptimConfig(lr=1e-3, grad_clip=1.0))
+    state = _init(cfg, (2, H, W, 3))
+    step = make_train_step(cfg)
+    batch = to_dev(make_batch())
+    new_state, scalars = step(clone_state(state), batch)
+    assert np.isfinite(float(scalars["loss"]))
+    # clipped grads => Adam's first update magnitude is <= lr everywhere
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        assert float(jnp.max(jnp.abs(a - b))) <= 1.1e-3
+    # epoch-LR setter reaches the hyperparams nested inside the chain tuple
+    state2 = set_learning_rate(new_state, cfg, epoch=22)
+    lrs = [
+        float(s.hyperparams["learning_rate"])
+        for s in (state2.opt_state if isinstance(state2.opt_state, tuple) else (state2.opt_state,))
+        if hasattr(s, "hyperparams")
+    ]
+    assert lrs and lrs[0] == pytest.approx(1e-3 / 4)
 
 
 def test_data_parallel_matches_single_device(tiny_state):
