@@ -31,13 +31,13 @@ def test_pallas_gradient_matches_xla(rng):
     right = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
 
     def f_pallas(l, r):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(gwc_volume_norm_pallas(l, r, max_shift, groups, True) ** 2)
+        return jnp.sum(gwc_volume_norm_pallas(l, r, max_shift, groups, True) ** 2)
 
     def f_xla(l, r):
         return jnp.sum(gwc_volume_norm_xla(l, r, max_shift, groups, True) ** 2)
 
-    gp = jax.grad(f_pallas, (0, 1))(left, right)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(f_pallas, (0, 1))(left, right)
     gx = jax.grad(f_xla, (0, 1))(left, right)
     for a, b_ in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
