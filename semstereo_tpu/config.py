@@ -25,7 +25,7 @@ class ModelConfig:
     stereo_if: bool = True
     topk: int = 24
     refine_topk: int = 2
-    cost_volume_impl: str = "xla"  # xla | pallas
+    cost_volume_impl: str = "auto"  # auto (pallas on TPU) | xla | pallas
     att_window1: Tuple[int, int, int] = (4, 4, 4)
     att_window2: Tuple[int, int, int] = (6, 4, 4)
     shard_disp: bool = False  # shard cost-volume disparity planes over mesh 'disp'
@@ -48,6 +48,19 @@ class DataConfig:
     num_workers: int = 4
     prefetch: int = 2
     crop_size: Optional[Tuple[int, int]] = None  # (H, W) train crop, dataset-specific
+    # Valid-disparity mask convention (drives both train loss and eval
+    # metrics): 'symmetric'  -> -maxdisp <= d < maxdisp (US3D, large-negative
+    #                           invalid sentinel; reference main_us3d.py:199)
+    #           'positive'   -> 0 < d < maxdisp (WHU main_whu.py:198; also
+    #                           KITTI-convention disp PNGs where 0 = no gt,
+    #                           reference kitti_dataset_15.py:37-40)
+    #           'auto'       -> symmetric for the us3d dataset, else positive
+    mask_policy: str = "auto"
+
+    def resolved_mask_policy(self, symmetric_model: bool) -> str:
+        if self.mask_policy != "auto":
+            return self.mask_policy
+        return "symmetric" if (symmetric_model and self.dataset == "us3d") else "positive"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,14 +163,17 @@ def _kitti() -> TrainConfig:
     """KITTI-2015 with semantic labels (reference datasets/kitti_dataset_15.py:
     512x256 lower-biased crop, 19-class map)."""
     return TrainConfig(
-        model=ModelConfig(name="SemStereo", maxdisp=64, num_classes=19),
+        # num_classes counts the ignore class (last), mirroring the US3D 6/5
+        # convention: 19 train-ids + ignore 19 -> 20-way heads, dice drops last.
+        model=ModelConfig(name="SemStereo", maxdisp=64, num_classes=20),
         data=DataConfig(
             dataset="kitti", datapath="data/kitti",
             trainlist="filenames/kitti15_train.txt",
             testlist="filenames/kitti15_val.txt",
             crop_size=(256, 512),
         ),
-        loss=LossConfig(use_seg=True, use_lrsc=True, ignore_index=255),
+        # the 34->19 label map emits train-id 19 for ignore (datasets.py:26-41)
+        loss=LossConfig(use_seg=True, use_lrsc=True, ignore_index=19),
         logdir="checkpoints/kitti",
     )
 
@@ -166,14 +182,14 @@ def _cityscapes() -> TrainConfig:
     """Cityscapes stereo+semantics (reference datasets/cityscapes_dataset_c.py,
     incl. RandomVdisp vertical-disparity augmentation)."""
     return TrainConfig(
-        model=ModelConfig(name="SemStereo", maxdisp=64, num_classes=19),
+        model=ModelConfig(name="SemStereo", maxdisp=64, num_classes=20),
         data=DataConfig(
             dataset="cityscapes", datapath="data/cityscapes",
             trainlist="filenames/cityscapes_train.txt",
             testlist="filenames/cityscapes_val.txt",
             crop_size=(256, 512),
         ),
-        loss=LossConfig(use_seg=True, use_lrsc=True, ignore_index=255),
+        loss=LossConfig(use_seg=True, use_lrsc=True, ignore_index=19),
         logdir="checkpoints/cityscapes",
     )
 

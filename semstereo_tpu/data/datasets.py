@@ -181,9 +181,10 @@ class KittiDataset(StereoDataset):
 
     columns = 2
 
-    def __init__(self, datapath, list_filename, training):
+    def __init__(self, datapath, list_filename, training, crop_size=(256, 512)):
         super().__init__(datapath, list_filename, training)
         self.has_gt = len(self.rows[0]) >= 3
+        self.crop_size = tuple(crop_size)  # (H, W)
 
     def _label_path(self, disp_rel: str) -> str:
         parts = disp_rel.split("/")
@@ -202,7 +203,7 @@ class KittiDataset(StereoDataset):
 
         if self.training:
             h, w = left.shape[:2]
-            cw, ch = 512, 256
+            ch, cw = self.crop_size
             x1 = int(rng.integers(0, w - cw + 1))
             if int(rng.integers(0, 11)) >= 8:
                 y1 = int(rng.integers(0, h - ch + 1))
@@ -232,8 +233,15 @@ class KittiDataset(StereoDataset):
             "left_filename": row[0],
         }
         if self.has_gt:
+            # disparity pads with 0 = the KITTI no-gt sentinel, so the
+            # 'positive' mask policy excludes padded borders from loss and
+            # metrics; labels pad with the ignore id so the confusion matrix
+            # (built over num_classes-1 real classes) skips them too.
             sample["disparity"] = np.pad(disparity, ((top_pad, 0), (0, right_pad)))
-            sample["label"] = np.pad(label, ((top_pad, 0), (0, right_pad)))
+            sample["label"] = np.pad(
+                label, ((top_pad, 0), (0, right_pad)),
+                constant_values=float(_IGNORE19),
+            )
         return sample
 
 
@@ -260,7 +268,7 @@ class CityscapesDataset(KittiDataset):
             if rng.binomial(1, 0.5):
                 right = T.random_vdisp(right, angle=0.05, px=1.0, rng=rng)
             left, right, disparity, label = T.random_crop(
-                [left, right, disparity, label], (256, 512), rng
+                [left, right, disparity, label], self.crop_size, rng
             )
             right = T.random_occlusion(right, rng)
             return {

@@ -82,7 +82,7 @@ class SemStereo(nn.Module):
     symmetric: bool = True  # True: US3D [-maxdisp, maxdisp); False: WHU [0, maxdisp)
     topk: int = 24
     refine_topk: int = 2
-    cost_volume_impl: str = "xla"
+    cost_volume_impl: str = "auto"
     warp_impl: str = "onehot"  # onehot (MXU banded contraction) | gather
     # Attention windows at the two hourglass bottlenecks (reference: (4,4,4)
     # and (6,4,4), SemStereo.py:122,161).  The bottleneck depth D/4 must be a

@@ -75,9 +75,20 @@ def gwc_volume_norm(
     max_shift: int,
     num_groups: int,
     symmetric: bool = True,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> jax.Array:
-    """Dispatching wrapper; see module docstring."""
+    """Dispatching wrapper; see module docstring.
+
+    impl='auto' (default) selects the Pallas kernel on TPU (measured ~10x
+    faster than the XLA lowering at the flagship /8 shape: one-pass VMEM
+    tiling vs per-plane HBM re-reads) and the XLA path elsewhere (Pallas
+    compiles only in interpreter mode off-TPU).  The channel count must
+    divide into lane-aligned groups for the kernel's selector matmuls;
+    irregular shapes fall back to XLA.
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if on_tpu and left.shape[-1] % 128 == 0 else "xla"
     if impl == "pallas":
         from semstereo_tpu.ops.pallas.cost_volume_kernel import gwc_volume_norm_pallas
 

@@ -61,6 +61,7 @@ def _inv_norm(x2d, sum_sel):
         (x2d * x2d), sum_sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return 1.0 / (jnp.sqrt(sumsq) + EPS)
 
@@ -100,14 +101,18 @@ def _fwd_kernel(l_ref, r_ref, out_ref, rpad_ref, ipad_ref, *, shifts, num_groups
             l2 * r_s, mean_sel,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [N, G] fp32
         corr = (raw * inv_l * inv_r_s).reshape(th, w, g)
         valid = (col >= max(s, 0)) & (col < w + min(s, 0))
         out_ref[0, d] = jnp.where(valid, corr, 0.0).astype(out_ref.dtype)
 
 
-def _pick_tile(h: int, w: int, c: int, d: int, g: int, itemsize: int) -> int:
-    """Rows per block: inputs + padded scratch + output under ~3 MB —
+def _pick_tile(
+    h: int, w: int, c: int, d: int, g: int, itemsize: int,
+    budget_kib: int = 3500,
+) -> int:
+    """Rows per block: inputs + padded scratch + output under the budget —
     double-buffered blocks plus Mosaic's stack of live value temporaries
     (l*r products, fp32 accumulators) must fit the 16 MB VMEM (measured:
     a 6 MB budget compiles to an 18 MB stack demand at the flagship shape)."""
@@ -116,7 +121,7 @@ def _pick_tile(h: int, w: int, c: int, d: int, g: int, itemsize: int) -> int:
         3 * th * w * c * itemsize          # l, r, rpad
         + th * w * g * 8                   # inv norms fp32 (ipad + inv_l)
         + th * w * d * g * itemsize        # out block
-    ) > 3500 * 1024:
+    ) > budget_kib * 1024:
         th //= 2
     assert h % th == 0, (h, th)
     return th
@@ -180,6 +185,7 @@ def _norm_vjp(x2d, y2d, sum_sel, expand_sel):
         x2d * x2d, sum_sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     n_ = jnp.sqrt(sumsq)
     inv = 1.0 / (n_ + EPS)  # [N, G]
@@ -187,15 +193,18 @@ def _norm_vjp(x2d, y2d, sum_sel, expand_sel):
         x2d * y2d, sum_sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     coef = xy * inv * inv / jnp.maximum(n_, 1e-30)  # [N, G]
     inv_c = jax.lax.dot_general(
         inv, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     coef_c = jax.lax.dot_general(
         coef, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y2d.astype(jnp.float32) * inv_c - x2d.astype(jnp.float32) * coef_c
 
@@ -219,12 +228,14 @@ def _bwd_kernel(
     u = l2.astype(jnp.float32) * jax.lax.dot_general(
         inv_l, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # normalized left, fp32 [N, C]
 
     inv_r = _inv_norm(r2, sum_sel)
     v = r2.astype(jnp.float32) * jax.lax.dot_general(
         inv_r, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     vpad_ref[:] = jnp.zeros_like(vpad_ref)
     vpad_ref[pl.ds(pad_lo, n)] = v
@@ -239,6 +250,7 @@ def _bwd_kernel(
         gd_c = jax.lax.dot_general(
             gd, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [N, C]
         off = pad_lo - s
         yl = yl + gd_c * vpad_ref[pl.ds(off, n)]
@@ -264,7 +276,10 @@ def _bwd(max_shift, num_groups, symmetric, res, gbar):
     shifts = _shifts(max_shift, symmetric)
     d, g = len(shifts), num_groups
     pad = sum(_pads(shifts))
-    th = _pick_tile(h, w, c, d, g, 4)  # fp32 scratch dominates
+    # fp32 scratch dominates and the bwd body keeps more fp32 values live
+    # (u, v, yl, upad) — measured 16.05 MB stack demand at the 3500 KiB
+    # budget, so halve it.
+    th = _pick_tile(h, w, c, d, g, 4, budget_kib=1750)
 
     kernel = functools.partial(_bwd_kernel, shifts=shifts, num_groups=g)
     gl, gr = pl.pallas_call(

@@ -4,6 +4,7 @@ from semstereo_tpu.parallel.mesh import (
     DATA_AXIS,
     DISP_AXIS,
     SPATIAL_AXIS,
+    all_reduce_sum_tree,
     batch_sharding,
     make_mesh,
     param_sharding_rules,
@@ -15,6 +16,7 @@ __all__ = [
     "DATA_AXIS",
     "DISP_AXIS",
     "SPATIAL_AXIS",
+    "all_reduce_sum_tree",
     "batch_sharding",
     "make_mesh",
     "param_sharding_rules",

@@ -63,23 +63,58 @@ SPATIAL_KEYS = frozenset(
 
 
 def shard_batch(mesh: Mesh, batch, spatial: bool = False):
-    """Device-put a host batch: batch axis over ``data``; with ``spatial``,
-    height (axis 1) of every known image-like key over ``space``."""
+    """Assemble a host batch into global device arrays: batch axis over
+    ``data``; with ``spatial``, height (axis 1) of every known image-like key
+    over ``space``.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process
+    (``jax.process_count() > 1``): each host holds only its slice of the
+    global batch (the loader shards the sample list by ``process_index``), so
+    the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the TPU-native analog of the
+    reference's per-rank DistributedSampler feeding
+    (/root/reference/utils/misc.py:20-41).  The global batch axis is
+    ``local_batch * process_count``; non-batch sharded axes (``space``) must
+    not span processes (height halos would cross DCN every conv)."""
     s = batch_sharding(mesh, spatial)
     flat = batch_sharding(mesh, False)
     n_space = mesh.shape[SPATIAL_AXIS]
+    multiproc = jax.process_count() > 1
 
     def put(path, x):
         key = path[-1].key if path and hasattr(path[-1], "key") else None
+        sharding = flat
         if spatial and x.ndim >= 3 and key in SPATIAL_KEYS:
             assert x.shape[1] % n_space == 0, (
                 f"batch['{key}'] height {x.shape[1]} is not divisible by the "
                 f"mesh 'space' axis ({n_space}); pad H or shrink the axis"
             )
-            return jax.device_put(x, s)
-        return jax.device_put(x, flat)
+            sharding = s
+        if multiproc:
+            global_shape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map_with_path(put, batch)
+
+
+def all_reduce_sum_tree(tree):
+    """Sum a pytree of host numpy values across processes (no-op single
+    process) — the TPU-native analog of the reference's
+    ``reduce_scalar_outputs`` (/root/reference/utils/experiment.py:231-258),
+    used to aggregate eval meters/confusion matrices over host-sharded eval
+    data.  Uses a psum over a 1-device-per-process slice of the global mesh
+    via multihost_utils (DCN collective)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        jax.tree_util.tree_map(np.asarray, tree)
+    )
+    return jax.tree_util.tree_map(lambda x: np.asarray(x).sum(axis=0), gathered)
 
 
 def param_sharding_rules(mesh: Mesh, params):

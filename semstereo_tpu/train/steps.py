@@ -36,10 +36,13 @@ def _compute_dtype(cfg: TrainConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
-def valid_mask(gt, maxdisp: int, symmetric: bool):
-    """US3D: -maxdisp <= d < maxdisp (reference main_us3d.py:199-200);
-    WHU: 0 < d < maxdisp (main_whu.py:198)."""
-    if symmetric:
+def valid_mask(gt, maxdisp: int, symmetric):
+    """Valid-pixel policy (see DataConfig.mask_policy):
+    'symmetric' / True: -maxdisp <= d < maxdisp (US3D, main_us3d.py:199-200);
+    'positive' / False: 0 < d < maxdisp (WHU main_whu.py:198, and the KITTI
+    disp-PNG convention where 0 encodes no-gt, kitti_dataset_15.py:37-40 —
+    which also auto-excludes zero-padded eval borders from loss/metrics)."""
+    if symmetric in (True, "symmetric"):
         return (gt < maxdisp) & (gt >= -maxdisp)
     return (gt < maxdisp) & (gt > 0)
 
@@ -54,8 +57,9 @@ def assemble_train_loss(cfg: TrainConfig, out, batch):
     model_cfg, loss_cfg = cfg.model, cfg.loss
     gt = batch["disparity"]
     gt4 = batch["disparity_4"]
-    mask = valid_mask(gt, model_cfg.maxdisp, model_cfg.symmetric)
-    mask4 = valid_mask(gt4, model_cfg.maxdisp, model_cfg.symmetric)
+    policy = cfg.data.resolved_mask_policy(model_cfg.symmetric)
+    mask = valid_mask(gt, model_cfg.maxdisp, policy)
+    mask4 = valid_mask(gt4, model_cfg.maxdisp, policy)
 
     disp_ests = out["disp"]
     n = len(disp_ests)
@@ -197,6 +201,7 @@ def make_eval_step(cfg: TrainConfig):
     model_cfg = cfg.model
     seg_on = model_cfg.seg_if
     dtype = _compute_dtype(cfg)
+    policy = cfg.data.resolved_mask_policy(model_cfg.symmetric)
 
     @jax.jit
     def eval_step(state: TrainState, batch):
@@ -211,7 +216,7 @@ def make_eval_step(cfg: TrainConfig):
         )
         out = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), out)
         gt = batch["disparity"]
-        mask = valid_mask(gt, model_cfg.maxdisp, model_cfg.symmetric)
+        mask = valid_mask(gt, model_cfg.maxdisp, policy)
         scalars: dict[str, Any] = {}
         if "disp" in out:
             est = out["disp"][0]

@@ -66,12 +66,20 @@ class Trainer:
         self.writer = writer
         pidx, pcnt = jax.process_index(), jax.process_count()
 
+        def build_dataset(list_file, training):
+            ds_cls = __datasets__[cfg.data.dataset]
+            kwargs = {}
+            if cfg.data.crop_size is not None:
+                import inspect
+
+                if "crop_size" in inspect.signature(ds_cls.__init__).parameters:
+                    kwargs["crop_size"] = cfg.data.crop_size
+            return ds_cls(cfg.data.datapath, list_file, training, **kwargs)
+
         if train_dataset is None and cfg.data.trainlist and os.path.exists(cfg.data.trainlist):
-            ds_cls = __datasets__[cfg.data.dataset]
-            train_dataset = ds_cls(cfg.data.datapath, cfg.data.trainlist, True)
+            train_dataset = build_dataset(cfg.data.trainlist, True)
         if eval_dataset is None and cfg.data.testlist and os.path.exists(cfg.data.testlist):
-            ds_cls = __datasets__[cfg.data.dataset]
-            eval_dataset = ds_cls(cfg.data.datapath, cfg.data.testlist, False)
+            eval_dataset = build_dataset(cfg.data.testlist, False)
 
         self.train_loader = (
             DataLoader(
@@ -165,6 +173,17 @@ class Trainer:
             if self.writer and it % cfg.summary_freq == 0 and disp_est is not None:
                 self._log_images(epoch, batch, np.asarray(disp_est))
             meters.update(tensor2float(scalars))
+        # Multi-host eval: each process sees a disjoint shard of the test list
+        # (loader shard=(pidx, pcnt)), so meter sums/counts and the confusion
+        # matrix must be all-reduced — the analog of the reference's
+        # reduce_scalar_outputs (utils/experiment.py:231-258).
+        if jax.process_count() > 1:
+            from semstereo_tpu.parallel import all_reduce_sum_tree
+
+            meters.data, count, seg_meter.cm = all_reduce_sum_tree(
+                (meters.data, meters.count, seg_meter.cm)
+            )
+            meters.count = int(count)
         results = meters.mean()
         if seg_meter.cm.sum() > 0:
             results.update(
