@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """End-to-end stage breakdown of the flagship forward at 1024x1024.
 
-Per-dispatch fixed costs through the TPU tunnel (~25 ms RTT) drown per-layer
-microbenchmarks, so this measures cumulative prefixes of the real graph with
-two-point scan calibration (T(n2)-T(n1))/(n2-n1) and reports the deltas:
+Measures cumulative prefixes of the real graph and reports the deltas:
 backbone -> +FeatUp+heads -> +stage1 (cost volume/hourglass/topk) -> full.
-"""
+Timing: plain loop of N dispatches between scalar-fetch syncs — the ~25 ms
+tunnel RTT amortizes to ~1 ms/iter error, fine at the 10-80 ms stage scale
+(the scan-calibrated harness is reserved for micro-kernels; its scan compiles
+take minutes per stage at this graph size)."""
 
 from __future__ import annotations
 
@@ -23,7 +24,6 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from benchmarks._timing import timed_calibrated  # noqa: E402
 from semstereo_tpu.models import SemStereo  # noqa: E402
 from semstereo_tpu.nn import MobileViTv2Backbone  # noqa: E402
 
@@ -31,9 +31,35 @@ from semstereo_tpu.nn import MobileViTv2Backbone  # noqa: E402
 STAGES = ("backbone_x2", "seg_graph", "stage1_graph", "full_graph")
 
 
+def timed_loop(fn, args, iters: int = 20, warmup: int = 3) -> float:
+    """Wall-clock seconds per call: `iters` dispatches between syncs."""
+    import jax.numpy as _jnp
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(_jnp.sum(leaf).astype(_jnp.float32))
+
+    jfn = jax.jit(fn)
+    sync(jfn(*args))
+    for _ in range(warmup):
+        out = jfn(*args)
+    sync(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jfn(*args)
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
 def measure(stage: str, h: int, w: int, dtype) -> float:
-    left = jnp.zeros((1, h, w, 3), dtype)
-    right = jnp.zeros((1, h, w, 3), dtype)
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    left = jnp.asarray(rng.standard_normal((1, h, w, 3)), dtype)
+    right = jnp.asarray(rng.standard_normal((1, h, w, 3)), dtype)
 
     def cast(v):
         return jax.tree_util.tree_map(
@@ -43,24 +69,24 @@ def measure(stage: str, h: int, w: int, dtype) -> float:
     if stage == "backbone_x2":
         bb = MobileViTv2Backbone()
         vb = cast(bb.init(jax.random.PRNGKey(0), left))
-        return timed_calibrated(
+        return timed_loop(
             lambda l, r: bb.apply(vb, l)[0] + bb.apply(vb, r)[0], (left, right)
         )
     if stage == "seg_graph":
         m = SemStereo(maxdisp=64, stereo_if=False)
         v = cast(m.init(jax.random.PRNGKey(0), left, right))
-        return timed_calibrated(
+        return timed_loop(
             lambda l, r: m.apply(v, l, r)["label_l"], (left, right)
         )
     if stage == "stage1_graph":
         m = SemStereo(maxdisp=64, att_weights_only=True)
         v = cast(m.init(jax.random.PRNGKey(0), left, right))
-        return timed_calibrated(
+        return timed_loop(
             lambda l, r: m.apply(v, l, r)["disp"][0], (left, right)
         )
     m = SemStereo(maxdisp=64)
     v = cast(m.init(jax.random.PRNGKey(0), left, right))
-    return timed_calibrated(lambda l, r: m.apply(v, l, r)["disp"][0], (left, right))
+    return timed_loop(lambda l, r: m.apply(v, l, r)["disp"][0], (left, right))
 
 
 def main():
