@@ -116,18 +116,30 @@ def bench_hourglass(batch, iters, dtype):
 
 
 def bench_conv3d_single(batch, iters, dtype):
-    """One 3x3x3 conv at the stage-2 input shape (isolated MXU utilization)."""
-    from semstereo_tpu.ops.convops import conv_nd
+    """One 3x3x3 stride-2 conv at the stage-2 input shape: the XLA lowering
+    vs the Pallas im2col kernel (conv_nd dispatches to the latter on TPU)."""
+    from jax import lax
+
+    from semstereo_tpu.ops.pallas.conv3d_kernel import conv3d_s2_pallas
 
     b, d, h, w, cin, cout = batch, 24, 256, 256, 32, 64
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((b, d, h, w, cin)), dtype)
     k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.01, dtype)
-    fn = jax.jit(lambda x, k: conv_nd(x, k, stride=2, padding=1))
-    t = timed_calibrated(fn, (x, k), n2=max(iters,8))
     flops = 2 * b * (d // 2) * (h // 2) * (w // 2) * cout * 27 * cin
     bytes_io = (x.size + k.size + b * (d // 2) * (h // 2) * (w // 2) * cout) * x.dtype.itemsize
-    report("conv3d_3x3x3_s2", t, flops, bytes_io, dtype)
+
+    xla = jax.jit(
+        lambda x, k: lax.conv_general_dilated(
+            x, k, (2, 2, 2), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+    )
+    t = timed_calibrated(xla, (x, k), n2=max(iters, 8))
+    report("conv3d_3x3x3_s2_xla", t, flops, bytes_io, dtype)
+    pal = jax.jit(conv3d_s2_pallas)
+    t = timed_calibrated(pal, (x, k), n2=max(iters, 8))
+    report("conv3d_3x3x3_s2_pallas", t, flops, bytes_io, dtype)
 
 
 def main():

@@ -53,6 +53,25 @@ def conv_nd(
         cin, cout = kernel.shape[-2:]
         y = jnp.dot(x.reshape(-1, cin), kernel.reshape(cin, cout), precision=precision)
         return y.reshape(*x.shape[:-1], cout)
+    if (
+        nsp == 3
+        and kernel.shape[:3] == (3, 3, 3)
+        and stride == (2, 2, 2)
+        and dilation == (1, 1, 1)
+        and groups == 1
+        and all(p == (1, 1) for p in padding)
+        and kernel.shape[3] <= 64
+        and all(s % 2 == 0 for s in x.shape[1:4])
+        and jax.default_backend() == "tpu"
+    ):
+        # Narrow-channel stride-2 3-D convs (the hourglass entry convs) run
+        # at 4-6% of MXU peak through XLA's conv path (utilization scales as
+        # (Cin/128)*(Cout/128)); the Pallas im2col kernel lane-packs
+        # K = 27*Cin and reaches the Cout-bound ceiling instead
+        # (benchmarks/exp_conv3d*.py, ops/pallas/conv3d_kernel.py).
+        from semstereo_tpu.ops.pallas.conv3d_kernel import conv3d_s2_pallas
+
+        return conv3d_s2_pallas(x, kernel)
     return lax.conv_general_dilated(
         x,
         kernel,

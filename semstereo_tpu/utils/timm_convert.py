@@ -11,10 +11,12 @@ Usage:
     python -m semstereo_tpu.utils.timm_convert ckpt.pth out.msgpack
     params = load_backbone_params("out.msgpack")
 
-Note: timm's IR blocks use mid = out_channels * 2 while ours use
-mid = in_channels * 2; for mobilevitv2_100 the affected stage-entry blocks
-differ, so conversion validates shapes leaf-by-leaf and reports any that
-cannot be mapped (they keep their fresh initialization).
+timm's mobilevitv2 bottleneck blocks are built with ``bottle_in=True``
+(mid = in_channels * 2 — the official ml-cvnets convention), matching this
+package's InvertedResidual, so every backbone leaf maps 1:1; conversion
+still validates shapes leaf-by-leaf and skips any mismatch (caller merges
+over fresh init).  tests/test_backbone_convert.py asserts leaf-complete,
+numerically-exact conversion against a timm-named torch MobileViTv2.
 """
 
 from __future__ import annotations

@@ -1,0 +1,89 @@
+"""timm mobilevitv2_100 checkpoint conversion: every backbone leaf must map,
+and the converted flax backbone must reproduce the torch forward.
+
+The oracle is tests/_reference_oracle.FakeTimmMobileViTv2 — a torch
+MobileViTv2-1.0 with timm's exact byobnet module naming (conv1_1x1/conv2_kxk/
+conv3_1x1 bottleneck blocks with timm's ``bottle_in`` convention mid = 2*in,
+conv_kxk/conv_1x1/transformer.N/norm/conv_proj mobilevit2 blocks).  A real
+``timm.create_model('mobilevitv2_100', pretrained=True).state_dict()`` has
+the same keys/shapes, so utils.timm_convert is exercised end-to-end
+(VERDICT r2 missing #1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from tests._reference_oracle import FakeTimmMobileViTv2
+
+from semstereo_tpu.nn import MobileViTv2Backbone
+from semstereo_tpu.train.state import merge_partial_params
+from semstereo_tpu.utils.timm_convert import convert_state_dict
+
+
+def _timm_style_state_dict(model):
+    """features_only attribute naming (stages_i.j) -> timm checkpoint naming
+    (stages.i.blocks.j) that convert_state_dict consumes."""
+    sd = {}
+    for k, v in model.state_dict().items():
+        if k.startswith("stages_"):
+            stage, rest = k[len("stages_"):].split(".", 1)
+            block, tail = rest.split(".", 1)
+            sd[f"stages.{stage}.blocks.{block}.{tail}"] = v.numpy()
+        else:
+            sd[k] = v.numpy()
+    return sd
+
+
+def test_conversion_is_leaf_complete_and_numerically_exact():
+    torch.manual_seed(0)
+    model = FakeTimmMobileViTv2()
+    # randomize BN affine + running stats so swapped-leaf bugs are visible
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.GroupNorm)):
+                m.weight.mul_(1 + 0.2 * torch.rand(m.weight.shape, generator=gen))
+                m.bias.add_(0.1 * torch.randn(m.bias.shape, generator=gen))
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.add_(0.1 * torch.randn(m.running_mean.shape, generator=gen))
+                m.running_var.mul_(1 + 0.2 * torch.rand(m.running_var.shape, generator=gen))
+    model.eval()
+
+    params, stats = convert_state_dict(_timm_style_state_dict(model))
+
+    backbone = MobileViTv2Backbone()
+    x = np.random.default_rng(2).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    fresh = backbone.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    merged_p, n_p = merge_partial_params(fresh["params"], params)
+    n_total = len(jax.tree_util.tree_leaves(fresh["params"]))
+    assert n_p == n_total, f"only {n_p}/{n_total} backbone param leaves mapped"
+    merged_s, n_s = merge_partial_params(fresh["batch_stats"], stats)
+    n_stats = len(jax.tree_util.tree_leaves(fresh["batch_stats"]))
+    assert n_s == n_stats, f"only {n_s}/{n_stats} batch_stats leaves mapped"
+
+    with torch.no_grad():
+        ref = model_forward(model, torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = backbone.apply(
+        {"params": merged_p, "batch_stats": merged_s}, jnp.asarray(x), False
+    )
+    for lvl, (r, g) in enumerate(zip(ref, got)):
+        # flax GroupNorm's fast-variance (E[x^2]-E[x]^2) vs torch's two-pass
+        # cancels to ~5e-4 relative through the ViT-block norms; a mapping
+        # bug (swapped scale/bias, wrong block) is O(0.1..1).
+        np.testing.assert_allclose(
+            np.asarray(g), r.permute(0, 2, 3, 1).numpy(),
+            rtol=2e-3, atol=1e-2, err_msg=f"pyramid level {lvl}",
+        )
+
+
+def model_forward(model, x):
+    """The reference Feature wrapper's forward
+    (/root/reference/models/SemStereo.py:46-56)."""
+    x = model.stem(x)
+    x2 = model.stages_0(x)
+    x4 = model.stages_1(x2)
+    x8 = model.stages_2(x4)
+    x16 = model.stages_3(x8)
+    x32 = model.stages_4(x16)
+    return [x2, x4, x8, x16, x32]
