@@ -36,13 +36,18 @@ def main():
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     args = p.parse_args()
 
+    import numpy as np
+
     from semstereo_tpu.models import SemStereo
 
     model = SemStereo(maxdisp=64, num_classes=6)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     shape = (args.batch, args.height, args.width, 3)
-    left = jnp.zeros(shape, jnp.float32)
-    right = jnp.zeros(shape, jnp.float32)
+    # Random (seeded) inputs: all-zero images drive degenerate ReLU/softmax
+    # paths whose timing and numerics don't represent real traffic.
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    right = jnp.asarray(np.roll(np.asarray(left), 8, axis=2))
     variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
     if dtype != jnp.float32:
         variables = jax.tree_util.tree_map(
