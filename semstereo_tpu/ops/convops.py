@@ -11,6 +11,8 @@ kernel: pad_lo = k-1-p, pad_hi = k-1-p+output_padding.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -55,23 +57,24 @@ def conv_nd(
         return y.reshape(*x.shape[:-1], cout)
     if (
         nsp == 3
-        and kernel.shape[:3] == (3, 3, 3)
         and stride == (2, 2, 2)
         and dilation == (1, 1, 1)
         and groups == 1
         and all(p == (1, 1) for p in padding)
         and kernel.shape[3] <= 64
-        and all(s % 2 == 0 for s in x.shape[1:4])
         and jax.default_backend() == "tpu"
-    ):
         # Narrow-channel stride-2 3-D convs (the hourglass entry convs) run
         # at 4-6% of MXU peak through XLA's conv path (utilization scales as
-        # (Cin/128)*(Cout/128)); the Pallas im2col kernel lane-packs
-        # K = 27*Cin and reaches the Cout-bound ceiling instead
-        # (benchmarks/exp_conv3d*.py, ops/pallas/conv3d_kernel.py).
-        from semstereo_tpu.ops.pallas.conv3d_kernel import conv3d_s2_pallas
+        # (Cin/128)*(Cout/128)); the Pallas im2col kernel
+        # (ops/pallas/conv3d_kernel.py) lane-packs K = 27*Cin instead.
+        # OPT-IN while its Mosaic compile time is under investigation
+        # (observed >20 min server-side at the flagship shapes).
+        and os.environ.get("SEMSTEREO_PALLAS_CONV3D") == "1"
+    ):
+        from semstereo_tpu.ops.pallas import conv3d_kernel as _c3k
 
-        return conv3d_s2_pallas(x, kernel)
+        if _c3k.supported(x.shape, kernel.shape):
+            return _c3k.conv3d_s2_pallas(x, kernel)
     return lax.conv_general_dilated(
         x,
         kernel,

@@ -6,19 +6,32 @@ SemStereo.py:110-118 via nn/hourglass.py) run at 4-6% of peak (measured
 2.43 ms for [1,24,256,256,32]->[1,12,128,128,64] on v5e; benchmarks/
 exp_conv3d*.py).  Reformulations XLA can express (depth taps, phase packing,
 space-to-depth folds) all lose to relayout traffic.  This kernel assembles
-the im2col patch matrix [M, 27*Cin] in VMEM with static strided slices and
-feeds the MXU one dense [M, 27*Cin] x [27*Cin, F] product per tile — K is
-lane-packed regardless of Cin, so utilization is bounded by Cout/128 alone.
+the im2col patch matrix [M, 27*Cin] in VMEM and feeds the MXU one dense
+[M, 27*Cin] x [27*Cin, F] product per tile — K is lane-packed regardless of
+Cin, so utilization is bounded by Cout/128 alone.
 
 Contract: x [B, D, H, W, C] (NDHWC), kernel [3, 3, 3, C, F], stride 2,
 padding 1 — exactly `lax.conv_general_dilated(x, k, (2,2,2), [(1,1)]*3)`.
-The input is zero-padded once in HBM (+1 halo per spatial dim); every grid
-cell then DMAs a fully-valid slab, so there is no edge branching in-kernel.
+
+Mosaic constraints shape the plumbing (all discovered the hard way):
+  * HBM DMA slices must be whole, tile-aligned minor dims — and a C<128
+    minor dim would be lane-padded to 128 (up to 4x traffic) — so P=128/C
+    (2 for C=128) input columns are PACKED into one 128+-lane minor dim,
+    and H rows are pre-split into even/odd pairs, all via a single pad +
+    free reshape in XLA: xq [B, D+2, (H+2)/2, 2, WQ, P*C].  Every DMA then
+    slices only untiled major dims.
+  * No strided vector slices and no lane-dim reshapes in-kernel: every tap
+    of the 3x3x3 stencil becomes a static unit-stride slice of the slab —
+    rows via the (pair, phase) split, columns via (group, lane-block) —
+    writing into a patch row block indexed by the output-column residue r
+    (j = Q*m + r, Q = P/2).  The matmul result therefore leaves the kernel
+    in (t, r, m) packed order; the caller unpacks with one cheap XLA
+    transpose (identity when Q == 1).
 
 Backward is the standard conv transpose / correlation pair expressed with
 the XLA ops that ARE efficient at those shapes (dx: the phase-decomposed
-deconv path of ops.convops with N = 8F lanes; dw: a [27C, F] correlation
-contraction over output positions) — not a recomputation of this forward.
+deconv path of ops.convops with N = 8F lanes; dw: 27 [C, M] x [M, F]
+contractions) — not a recomputation of this forward.
 """
 
 from __future__ import annotations
@@ -32,41 +45,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xp_hbm, w_ref, out_ref, slab, patches, sem, *, toh, ow, cin, cout):
+def _roundup(a: int, m: int) -> int:
+    return -(-a // m) * m
+
+
+def _geom(c: int):
+    """(P columns packed per lane group, Q output-column residues)."""
+    p = max(128 // c, 2)
+    return p, p // 2
+
+
+def _kernel(xq_hbm, w_ref, out_ref, slab, patches, sem,
+            *, toh, ow, cin, cout, wq):
     b_i = pl.program_id(0)
     od_i = pl.program_id(1)
     ohb = pl.program_id(2)
-    tih = 2 * toh + 2
-    wpad = 2 * ow + 2
+    p, q = _geom(cin)
+    owm = ow // q
+    ll = p * cin
 
-    # slab <- xp[b, 2*od : 2*od+3, 2*h0 : 2*h0+TIH, :, :]   (padded coords;
-    # xp stays un-blocked in HBM, so every index incl. batch is explicit)
+    # slab <- xq[b, 2od : 2od+3, toh*ohb : toh*ohb + toh+1, :, :, :]
+    # (padded coords: row pair index t covers original rows 2t-1, 2t)
     copy = pltpu.make_async_copy(
-        xp_hbm.at[b_i, pl.ds(2 * od_i, 3), pl.ds(2 * toh * ohb, tih)],
+        xq_hbm.at[b_i, pl.ds(2 * od_i, 3), pl.ds(toh * ohb, toh + 1)],
         slab,
         sem,
     )
     copy.start()
     copy.wait()
 
-    # im2col: tap (kd, kh, kw) reads slab[kd, kh::2, kw::2, :] -> [TOH, OW, C]
-    n = toh * ow
+    # Tap (kd, kh, kw) feeds output (t, j= Q*m + r) from padded input row
+    # 2t + kh (pair t + kh//2, phase kh % 2) and padded column 2j + kw
+    # (group m + (2r+kw)//P, lane block (2r+kw) % P).
     for kd in range(3):
-        plane = slab[kd]  # [TIH, WPAD, C]
         for kh in range(3):
+            rows = slab[kd, kh // 2 : kh // 2 + toh, kh % 2]  # [toh, wq, L]
             for kw in range(3):
-                tap = lax.slice(
-                    plane,
-                    (kh, kw, 0),
-                    (kh + 2 * (toh - 1) + 1, kw + 2 * (ow - 1) + 1, cin),
-                    (2, 2, 1),
-                )
-                t = (kd * 3 + kh) * 3 + kw
-                patches[:, t * cin : (t + 1) * cin] = tap.reshape(n, cin)
+                tcol = ((kd * 3 + kh) * 3 + kw) * cin
+                for r in range(q):
+                    g0, blk = divmod(2 * r + kw, p)
+                    tap = rows[:, g0 : g0 + owm, blk * cin : (blk + 1) * cin]
+                    patches[:, r, :, tcol : tcol + cin] = tap
 
-    acc = jnp.dot(patches[:], w_ref[:], preferred_element_type=jnp.float32)
-    out_ref[0, 0] = acc.reshape(toh, ow, cout).astype(out_ref.dtype)
-    del wpad
+    flat = patches[:].reshape(toh * q * owm, 27 * cin)
+    acc = jnp.dot(flat, w_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0, 0] = acc.reshape(toh, q, owm, cout).astype(out_ref.dtype)
 
 
 def _pick_toh(oh, ow, cin, cout, itemsize):
@@ -74,40 +97,59 @@ def _pick_toh(oh, ow, cin, cout, itemsize):
     (leaves room for double buffering + Mosaic value temporaries)."""
     toh = min(oh, 16)
     while toh > 1 and (
-        3 * (2 * toh + 2) * (2 * ow + 2) * cin * itemsize
+        3 * (2 * toh + 2) * (2 * ow + 34) * cin * itemsize
         + toh * ow * 27 * cin * itemsize
         + toh * ow * cout * 4
     ) > 3 * 1024 * 1024:
         toh //= 2
     while oh % toh:
         toh //= 2
-    return max(toh, 1)
+    return toh
+
+
+def supported(x_shape, k_shape) -> bool:
+    b, d, h, w, c = x_shape
+    if tuple(k_shape[:3]) != (3, 3, 3) or c not in (32, 64, 128):
+        return False
+    if d % 2 or h % 2 or w % 2:
+        return False
+    _, q = _geom(c)
+    return (w // 2) % q == 0
 
 
 def _forward(x, kernel):
     b, d, h, w, c = x.shape
     f = kernel.shape[-1]
     od, oh, ow = d // 2, h // 2, w // 2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    p, q = _geom(c)
+    # +1 halo per spatial dim; W rounds so the packed group count is a
+    # multiple of 8 (sublane tiling of the DMA'd minor dims).
+    wq = _roundup(w + 2, 8 * p) // p
+    hpad = _roundup(h + 2, 2)
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, hpad - h - 1), (1, wq * p - w - 1), (0, 0))
+    )
+    # free reshape: rows -> (pair, phase); columns -> (group, lane block)
+    xq = xp.reshape(b, d + 2, hpad // 2, 2, wq, p * c)
     kmat = kernel.reshape(27 * c, f)
     toh = _pick_toh(oh, ow, c, f, x.dtype.itemsize)
-    tih = 2 * toh + 2
 
-    return pl.pallas_call(
-        functools.partial(_kernel, toh=toh, ow=ow, cin=c, cout=f),
+    packed = pl.pallas_call(
+        functools.partial(_kernel, toh=toh, ow=ow, cin=c, cout=f, wq=wq),
         grid=(b, od, oh // toh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, toh, ow, f), lambda bi, odi, ohb: (bi, odi, ohb, 0, 0),
+            (1, 1, toh, q, ow // q, f),
+            lambda bi, odi, ohb: (bi, odi, ohb, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, od, oh, ow, f), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, od, oh, q, ow // q, f), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, tih, w + 2, c), x.dtype),
-            pltpu.VMEM((toh * ow, 27 * c), x.dtype),
+            pltpu.VMEM((3, toh + 1, 2, wq, p * c), x.dtype),
+            pltpu.VMEM((toh, q, ow // q, 27 * c), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
@@ -116,7 +158,11 @@ def _forward(x, kernel):
             * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xp, kmat)
+    )(xq, kmat)
+    if q == 1:
+        return packed.reshape(b, od, oh, ow, f)
+    # unpack (r, m) -> j = Q*m + r
+    return packed.transpose(0, 1, 2, 4, 3, 5).reshape(b, od, oh, ow, f)
 
 
 @jax.custom_vjp

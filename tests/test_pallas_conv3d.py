@@ -28,8 +28,8 @@ def test_forward_matches_xla(rng):
 
 
 def test_gradients_match_xla(rng):
-    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 8)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 8)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 32, 8)) * 0.1, jnp.float32)
 
     def loss_p(x, k):
         return jnp.sum(conv3d_s2_pallas(x, k) ** 2)
