@@ -18,7 +18,9 @@ feature maps to fp32 in VMEM and `pltpu.roll`ed the whole tile per shift):
   * shifts are STATIC sublane-offset slices of a zero-padded copy of the
     right tile (built once per block) — no rolls;
   * products stay in the input dtype (bf16 on the flagship path, MXU-native)
-    with fp32 accumulation via preferred_element_type;
+    with fp32 accumulation via preferred_element_type (NO explicit
+    precision= on the dots: precision=HIGHEST on bf16 operands makes Mosaic
+    emit a tpu.matmul it rejects with "Bad lhs type" — repro'd minimal);
   * the backward pass is a mirrored Pallas kernel (same tiling, same one-pass
     structure) instead of re-running the XLA forward's vjp.
 
@@ -61,7 +63,6 @@ def _inv_norm(x2d, sum_sel):
         (x2d * x2d), sum_sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     return 1.0 / (jnp.sqrt(sumsq) + EPS)
 
@@ -101,7 +102,6 @@ def _fwd_kernel(l_ref, r_ref, out_ref, rpad_ref, ipad_ref, *, shifts, num_groups
             l2 * r_s, mean_sel,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )  # [N, G] fp32
         corr = (raw * inv_l * inv_r_s).reshape(th, w, g)
         valid = (col >= max(s, 0)) & (col < w + min(s, 0))
@@ -185,7 +185,6 @@ def _norm_vjp(x2d, y2d, sum_sel, expand_sel):
         x2d * x2d, sum_sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     n_ = jnp.sqrt(sumsq)
     inv = 1.0 / (n_ + EPS)  # [N, G]
@@ -193,18 +192,15 @@ def _norm_vjp(x2d, y2d, sum_sel, expand_sel):
         x2d * y2d, sum_sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     coef = xy * inv * inv / jnp.maximum(n_, 1e-30)  # [N, G]
     inv_c = jax.lax.dot_general(
         inv, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     coef_c = jax.lax.dot_general(
         coef, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     return y2d.astype(jnp.float32) * inv_c - x2d.astype(jnp.float32) * coef_c
 
@@ -228,14 +224,12 @@ def _bwd_kernel(
     u = l2.astype(jnp.float32) * jax.lax.dot_general(
         inv_l, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )  # normalized left, fp32 [N, C]
 
     inv_r = _inv_norm(r2, sum_sel)
     v = r2.astype(jnp.float32) * jax.lax.dot_general(
         inv_r, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     vpad_ref[:] = jnp.zeros_like(vpad_ref)
     vpad_ref[pl.ds(pad_lo, n)] = v
@@ -250,7 +244,6 @@ def _bwd_kernel(
         gd_c = jax.lax.dot_general(
             gd, expand_sel, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )  # [N, C]
         off = pad_lo - s
         yl = yl + gd_c * vpad_ref[pl.ds(off, n)]
