@@ -57,24 +57,29 @@ def conv_nd(
         return y.reshape(*x.shape[:-1], cout)
     if (
         nsp == 3
-        and stride == (2, 2, 2)
+        and stride in ((1, 1, 1), (2, 2, 2))
         and dilation == (1, 1, 1)
         and groups == 1
         and all(p == (1, 1) for p in padding)
-        and kernel.shape[3] <= 64
         and jax.default_backend() == "tpu"
-        # Narrow-channel stride-2 3-D convs (the hourglass entry convs) run
-        # at 4-6% of MXU peak through XLA's conv path (utilization scales as
-        # (Cin/128)*(Cout/128)); the Pallas im2col kernel
-        # (ops/pallas/conv3d_kernel.py) lane-packs K = 27*Cin instead.
-        # OPT-IN while its Mosaic compile time is under investigation
-        # (observed >20 min server-side at the flagship shapes).
-        and os.environ.get("SEMSTEREO_PALLAS_CONV3D") == "1"
+        and os.environ.get("SEMSTEREO_NO_PALLAS_CONV3D") != "1"
     ):
-        from semstereo_tpu.ops.pallas import conv3d_kernel as _c3k
+        s = stride[0]
+        # Narrow-channel 3-D convs (hourglass entries, concat stem,
+        # classifier) run at 4-12% of MXU peak through XLA's conv path
+        # (utilization ~ (Cin/128)*(Cout/128) plus T(8,128) relayout
+        # copies); the W-in-lanes Pallas kernel keeps width in lanes and
+        # packs 128//Cout output rows per MXU tile instead.
+        from semstereo_tpu.ops.pallas import conv3d_wl as _wl
 
-        if _c3k.supported(x.shape, kernel.shape):
-            return _c3k.conv3d_s2_pallas(x, kernel)
+        if kernel.shape[-1] < 128 and _wl.supported(x.shape, kernel.shape, s):
+            return _wl.conv3d_wl(x, kernel, s, False)
+        if s == 1 and kernel.shape[-1] == 1 and x.shape[1] <= 32:
+            # Cout=1 classifier head: fold D into channels -> one 2-D conv
+            # with Cin=(D+2)*C (a block-banded kernel), Cout=D — 1/128th-
+            # lane MXU fill becomes D/128 (measured 3.1 ms -> sub-ms at the
+            # stage-2 classif shape, reference SemStereo.py:171-177).
+            return _conv3d_cout1_dfold(x, kernel)
     return lax.conv_general_dilated(
         x,
         kernel,
@@ -85,6 +90,26 @@ def conv_nd(
         feature_group_count=groups,
         precision=precision,
     )
+
+
+def _conv3d_cout1_dfold(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """3x3x3 s1 p1 conv with Cout=1 as a 2-D conv over a D-folded layout.
+
+    out[b,do,h,w] = sum_{kd,kh,kw,c} K[kd,kh,kw,c,0] x_pad[b,do+kd,h+kh,w+kw,c]
+    = conv2d(x2, K2) with x2 = [B,H,W,(D+2)*C] and K2[(dp,c),do] banded
+    (nonzero iff 0 <= dp-do < 3)."""
+    b, d, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    x2 = jnp.transpose(xp, (0, 2, 3, 1, 4)).reshape(b, h, w, (d + 2) * c)
+    k2 = jnp.zeros((3, 3, d + 2, c, d), kernel.dtype)
+    for do in range(d):
+        k2 = k2.at[:, :, do : do + 3, :, do].set(kernel[:, :, :, :, 0].transpose(1, 2, 0, 3))
+    k2 = k2.reshape(3, 3, (d + 2) * c, d)
+    y = lax.conv_general_dilated(
+        x2, k2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, H, W, D]
+    return jnp.transpose(y, (0, 3, 1, 2))[..., None]
 
 
 def conv_transpose_nd(
