@@ -34,13 +34,17 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--cost-volume", default="auto", choices=["auto", "xla", "pallas"],
+        help="cost-volume impl (A/B dimension; auto = pallas on TPU)",
+    )
     args = p.parse_args()
 
     import numpy as np
 
     from semstereo_tpu.models import SemStereo
 
-    model = SemStereo(maxdisp=64, num_classes=6)
+    model = SemStereo(maxdisp=64, num_classes=6, cost_volume_impl=args.cost_volume)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     shape = (args.batch, args.height, args.width, 3)
     # Random (seeded) inputs: all-zero images drive degenerate ReLU/softmax

@@ -116,30 +116,41 @@ def bench_hourglass(batch, iters, dtype):
 
 
 def bench_conv3d_single(batch, iters, dtype):
-    """One 3x3x3 stride-2 conv at the stage-2 input shape: the XLA lowering
-    vs the Pallas im2col kernel (conv_nd dispatches to the latter on TPU)."""
+    """The 3x3x3 convs conv_nd dispatches to Pallas in the flagship graph
+    (the W-in-lanes kernel, ops/pallas/conv3d_wl.py), XLA vs Pallas at each
+    real model shape."""
     from jax import lax
 
-    from semstereo_tpu.ops.pallas.conv3d_kernel import conv3d_s2_pallas
+    from semstereo_tpu.ops.pallas.conv3d_wl import conv3d_wl, supported
 
-    b, d, h, w, cin, cout = batch, 24, 256, 256, 32, 64
+    shapes = [
+        # (name, x_shape, F, stride)
+        ("classif_conv0_s1", (batch, 24, 256, 256, 32), 32, 1),
+        ("concat_stem_s1", (batch, 24, 256, 256, 64), 32, 1),
+        ("hourglass_conv2_s1", (batch, 12, 128, 128, 64), 64, 1),
+        ("hourglass_conv1_s2", (batch, 24, 256, 256, 32), 64, 2),
+    ]
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((b, d, h, w, cin)), dtype)
-    k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.01, dtype)
-    flops = 2 * b * (d // 2) * (h // 2) * (w // 2) * cout * 27 * cin
-    bytes_io = (x.size + k.size + b * (d // 2) * (h // 2) * (w // 2) * cout) * x.dtype.itemsize
+    for name, xs, cout, s in shapes:
+        b, d, h, w, cin = xs
+        x = jnp.asarray(rng.standard_normal(xs), dtype)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.01, dtype)
+        od, oh, ow = d // s, h // s, w // s
+        flops = 2 * b * od * oh * ow * cout * 27 * cin
+        bytes_io = (x.size + k.size + b * od * oh * ow * cout) * x.dtype.itemsize
 
-    xla = jax.jit(
-        lambda x, k: lax.conv_general_dilated(
-            x, k, (2, 2, 2), [(1, 1)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        xla = jax.jit(
+            lambda x, k, s=s: lax.conv_general_dilated(
+                x, k, (s,) * 3, [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
         )
-    )
-    t = timed_calibrated(xla, (x, k), n2=max(iters, 8))
-    report("conv3d_3x3x3_s2_xla", t, flops, bytes_io, dtype)
-    pal = jax.jit(conv3d_s2_pallas)
-    t = timed_calibrated(pal, (x, k), n2=max(iters, 8))
-    report("conv3d_3x3x3_s2_pallas", t, flops, bytes_io, dtype)
+        t = timed_calibrated(xla, (x, k), n2=max(iters, 8))
+        report(f"{name}_xla", t, flops, bytes_io, dtype)
+        if supported(xs, k.shape, s):
+            pal = jax.jit(lambda x, k, s=s: conv3d_wl(x, k, s, False))
+            t = timed_calibrated(pal, (x, k), n2=max(iters, 8))
+            report(f"{name}_pallas", t, flops, bytes_io, dtype)
 
 
 def main():

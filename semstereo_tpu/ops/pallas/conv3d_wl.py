@@ -6,9 +6,9 @@ entry convs Cin=32 s2, the concat stem 64->32, the classifier 32->32 —
 /root/reference/models/SemStereo.py:110-118,221-223,166-177 via
 nn/hourglass.py and models/semstereo.py) run at 4-12% of MXU peak
 (lanes 32/128 filled, measured benchmarks/exp_conv3d4.py), and every conv
-is bracketed by T(8,128) relayout copies.  A first im2col kernel
-(conv3d_kernel.py) packed taps into *lanes*; its lane-offset writes made
-Mosaic both slow to compile (17 min) and slow to run (worse than XLA).
+is bracketed by T(8,128) relayout copies.  A first im2col kernel (removed;
+see benchmarks/README.md) packed taps into *lanes*; its lane-offset writes
+made Mosaic both slow to compile (17 min) and slow to run (worse than XLA).
 
 This design keeps every vector op tile-aligned:
 
