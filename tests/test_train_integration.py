@@ -273,3 +273,36 @@ def test_spatial_sharding_matches_single_device(tiny_state):
     np.testing.assert_allclose(
         float(scal_single["loss"]), float(scal_sharded["loss"]), rtol=1.5e-2
     )
+
+
+def test_disp_sharding_matches_single_device(tiny_state):
+    """data=2 x disp=2 x space=2 mesh — the cost-volume tensor-parallel axis
+    (disparity planes, semstereo.py _constrain_disp) composed with the other
+    two axes — must match unsharded execution.
+
+    Same tolerance rationale as the spatial test above: the continuous
+    segmentation path must agree to reassociation noise; the disparity path
+    crosses a discrete lax.top_k plane selection whose near-ties can flip
+    under sharded-reduction reassociation, so the total loss gets a ~1%
+    band.  A wrong psum placement would produce an O(1) loss difference,
+    far outside these bands."""
+    assert jax.device_count() >= 8
+    from semstereo_tpu.config import ParallelConfig
+
+    batch8 = to_dev(make_batch(bs=2))
+    step_plain = make_train_step(TINY)
+    _, scal_single = step_plain(clone_state(tiny_state), batch8)
+
+    cfg = TINY.replace(parallel=ParallelConfig(data=2, disp=2, space=2))
+    mesh = make_mesh(data=2, disp=2, space=2)
+    sharded = shard_batch(mesh, batch8, spatial=True)
+    step = make_train_step(cfg)
+    with jax.sharding.set_mesh(mesh):
+        _, scal_sharded = step(clone_state(tiny_state), sharded)
+
+    np.testing.assert_allclose(
+        float(scal_single["label_loss"]), float(scal_sharded["label_loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(scal_single["loss"]), float(scal_sharded["loss"]), rtol=1.5e-2
+    )
