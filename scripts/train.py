@@ -55,6 +55,11 @@ def main():
     p.add_argument("--testlist")
     p.add_argument("--logdir")
     p.add_argument("--loadckpt", help="partial warm-start checkpoint dir")
+    p.add_argument(
+        "--pretrained-backbone",
+        help="torch mobilevitv2_100 state_dict (.pth) for the backbone "
+        "(loud leaf-complete conversion; reference SemStereo.py:37)",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--epochs", type=int)
     p.add_argument("--lr", type=float)
@@ -109,7 +114,13 @@ def main():
         ).items()
         if v is not None
     }
-    model_kw = {k: v for k, v in dict(maxdisp=args.maxdisp).items() if v is not None}
+    model_kw = {
+        k: v
+        for k, v in dict(
+            maxdisp=args.maxdisp, pretrained_backbone=args.pretrained_backbone
+        ).items()
+        if v is not None
+    }
     if args.remat:
         model_kw["remat"] = True
     cfg = cfg.replace(

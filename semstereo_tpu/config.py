@@ -31,6 +31,10 @@ class ModelConfig:
     shard_disp: bool = False  # shard cost-volume disparity planes over mesh 'disp'
     shard_spatial: bool = False  # shard height tiles over mesh 'space'
     remat: bool = False  # rematerialize backbone + hourglasses on backward
+    # Path to a torch mobilevitv2_100 state_dict (.pth); loaded into the
+    # backbone at init with a loud leaf-complete contract (utils/timm_convert).
+    # None = train the backbone from scratch (no network egress here).
+    pretrained_backbone: str | None = None
 
     @property
     def symmetric(self) -> bool:

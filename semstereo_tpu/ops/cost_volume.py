@@ -89,6 +89,15 @@ def gwc_volume_norm(
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         impl = "pallas" if on_tpu and left.shape[-1] % 128 == 0 else "xla"
+        # Trace-time breadcrumb: a config whose channel count breaks the
+        # lane-alignment gate silently changes perf class; make the choice
+        # visible once per compiled graph.
+        import logging
+
+        logging.getLogger(__name__).info(
+            "gwc_volume_norm auto-dispatch -> %s (backend=%s, C=%d, shape=%s)",
+            impl, jax.default_backend(), left.shape[-1], tuple(left.shape),
+        )
     if impl == "pallas":
         from semstereo_tpu.ops.pallas.cost_volume_kernel import gwc_volume_norm_pallas
 

@@ -62,11 +62,26 @@ def init_state(cfg: TrainConfig, sample_shape: tuple[int, int, int, int]) -> Tra
     model = build_model(cfg)
     dummy = jnp.zeros(sample_shape, jnp.float32)
     variables = model.init(jax.random.PRNGKey(cfg.seed), dummy, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if cfg.model.pretrained_backbone:
+        from semstereo_tpu.utils.timm_convert import load_and_merge
+
+        bp, bs, n = load_and_merge(
+            cfg.model.pretrained_backbone,
+            params["feature"],
+            batch_stats.get("feature", {}),
+        )
+        params = dict(params, feature=bp)
+        if batch_stats:
+            batch_stats = dict(batch_stats, feature=bs)
+        print(f"loaded pretrained backbone: {n} leaves from "
+              f"{cfg.model.pretrained_backbone}")
     tx = build_optimizer(cfg)
     return TrainState(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
         epoch=0,
     )
 

@@ -123,9 +123,35 @@ def convert_state_dict(sd: dict) -> tuple[dict, dict]:
     return params, stats
 
 
-def load_and_merge(ckpt_path: str, fresh_params: dict, fresh_stats: dict):
+def _unmapped_paths(fresh: dict, converted: dict) -> list[str]:
+    """Leaf paths present in the fresh tree that the conversion did NOT fill
+    with a shape-matching value."""
+    import jax
+
+    conv_flat = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
+    missing = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(fresh)[0]:
+        cand = conv_flat.get(path)
+        if cand is None or tuple(cand.shape) != tuple(leaf.shape):
+            missing.append(jax.tree_util.keystr(path))
+    return missing
+
+
+def load_and_merge(
+    ckpt_path: str,
+    fresh_params: dict,
+    fresh_stats: dict,
+    require_complete: bool = True,
+):
     """Load a torch .pth state_dict, convert, and merge shape-matching leaves
-    over the fresh init.  Returns (params, batch_stats, n_loaded)."""
+    over the fresh init.  Returns (params, batch_stats, n_loaded).
+
+    ``require_complete`` (default): raise if ANY backbone leaf is left at its
+    fresh init — a naming/semantics mismatch against the real timm checkpoint
+    must be a loud error, not a silent from-scratch degradation
+    (mobilevitv2_100 pretrained is the reference default,
+    /root/reference/models/SemStereo.py:37).  Pass False only for
+    intentionally partial checkpoints."""
     import torch
 
     from semstereo_tpu.train.state import merge_partial_params
@@ -133,8 +159,22 @@ def load_and_merge(ckpt_path: str, fresh_params: dict, fresh_stats: dict):
     sd = torch.load(ckpt_path, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    sd = {k: v.numpy() for k, v in sd.items()}
+    sd = {k: np.asarray(v) for k, v in sd.items()}
     conv_p, conv_s = convert_state_dict(sd)
+    if require_complete:
+        missing = [
+            *(f"params{p}" for p in _unmapped_paths(fresh_params, conv_p)),
+            *(f"batch_stats{p}" for p in _unmapped_paths(fresh_stats, conv_s)),
+        ]
+        if missing:
+            head = "\n  ".join(missing[:12])
+            more = f"\n  ... and {len(missing) - 12} more" if len(missing) > 12 else ""
+            raise ValueError(
+                f"timm conversion of {ckpt_path!r} left {len(missing)} backbone "
+                f"leaves at fresh init (naming/shape mismatch vs this "
+                f"converter's mobilevitv2_100 layout):\n  {head}{more}\n"
+                "Pass require_complete=False to accept a partial load."
+            )
     params, n1 = merge_partial_params(fresh_params, conv_p)
     stats, n2 = merge_partial_params(fresh_stats, conv_s)
     return params, stats, n1 + n2

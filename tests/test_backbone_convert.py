@@ -87,3 +87,41 @@ def model_forward(model, x):
     x16 = model.stages_3(x8)
     x32 = model.stages_4(x16)
     return [x2, x4, x8, x16, x32]
+
+
+def test_load_and_merge_loud_contract(tmp_path):
+    """An incomplete real-checkpoint load must raise, not silently fall back
+    to fresh init (VERDICT r3 weak #5): load_and_merge's default
+    require_complete contract."""
+    import pytest
+
+    from semstereo_tpu.utils.timm_convert import load_and_merge
+
+    torch.manual_seed(0)
+    sd = _timm_style_state_dict(FakeTimmMobileViTv2())
+
+    backbone = MobileViTv2Backbone()
+    fresh = backbone.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+
+    full = tmp_path / "full.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, full)
+    p, s, n = load_and_merge(str(full), fresh["params"], fresh["batch_stats"])
+    want = len(jax.tree_util.tree_leaves(fresh["params"])) + len(
+        jax.tree_util.tree_leaves(fresh["batch_stats"])
+    )
+    assert n == want, (n, want)
+
+    # drop one whole stage -> loud error naming the unmapped leaves
+    partial = {k: v for k, v in sd.items() if not k.startswith("stages.4")}
+    ppath = tmp_path / "partial.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in partial.items()}, ppath)
+    with pytest.raises(ValueError, match="stage4"):
+        load_and_merge(str(ppath), fresh["params"], fresh["batch_stats"])
+
+    # explicit opt-out accepts the partial load
+    p, s, n_partial = load_and_merge(
+        str(ppath), fresh["params"], fresh["batch_stats"], require_complete=False
+    )
+    assert 0 < n_partial < want
