@@ -119,6 +119,12 @@ class TrainConfig:
     summary_freq: int = 50
     save_freq: int = 4  # epochs between checkpoints
     compute_dtype: str = "float32"  # float32 | bfloat16 (model compute)
+    # Seg-metric aggregation: False (default) derives PA/MPA/mIoU from ONE
+    # global confusion matrix over the eval set (the standard definition);
+    # True reproduces the reference's per-batch metric averaging through
+    # NaN-aware meters (test_us3d.py:120-125) for strict log comparison —
+    # see PARITY.md §2.7 item 7.
+    eval_seg_per_batch: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -38,6 +38,22 @@ _TRAIN_KEYS = ("left", "right", "disparity", "disparity_4", "label")
 _EVAL_KEYS = ("left", "right", "disparity", "label")
 
 
+def _seg_scalars(cm, num_classes: int) -> dict:
+    """Seg metrics of ONE batch's confusion matrix (values may be NaN for
+    classes absent from the batch; the per-key meter skips those) — the
+    reference's per-batch aggregation unit (test_us3d.py:120-125)."""
+    m = SegmentationMeter(num_classes)
+    m.add_confusion(cm)
+    cpa, iou = m.class_pixel_accuracy(), m.iou()
+    return {
+        "PA": float(m.pixel_accuracy()),
+        "MPA": float(m.mean_pixel_accuracy()),
+        "mIoU": float(m.mean_iou()),
+        **{f"CPA{i}": float(cpa[i]) for i in range(len(cpa))},
+        **{f"IoU{i}": float(iou[i]) for i in range(len(iou))},
+    }
+
+
 def _device_batch(mesh, batch, keys, spatial=False):
     sub = {k: batch[k] for k in keys if k in batch}
     return shard_batch(mesh, sub, spatial=spatial)
@@ -163,13 +179,21 @@ class Trainer:
         cfg = self.cfg
         meters = AverageMeterDict()
         seg_meter = SegmentationMeter(cfg.model.num_classes - 1)
+        # Reference-parity mode: average PER-BATCH metric values through
+        # NaN-aware meters (test_us3d.py:120-125) instead of deriving from
+        # the global confusion matrix — PARITY.md §2.7 item 7.
+        per_batch = cfg.eval_seg_per_batch
+        seg_batch_meter = AverageMeterDictPerKey()
         for it, batch in enumerate(self.eval_loader):
             dev_batch = _device_batch(self.mesh, batch, _EVAL_KEYS, self.cfg.parallel.space > 1)
             scalars = self.eval_step(self.state, dev_batch)
             cm = scalars.pop("confusion", None)
             disp_est = scalars.pop("disp_est", None)
             if cm is not None:
-                seg_meter.add_confusion(cm)
+                if per_batch:
+                    seg_batch_meter.update(_seg_scalars(cm, cfg.model.num_classes - 1))
+                else:
+                    seg_meter.add_confusion(cm)
             if self.writer and it % cfg.summary_freq == 0 and disp_est is not None:
                 self._log_images(epoch, batch, np.asarray(disp_est))
             meters.update(tensor2float(scalars))
@@ -184,8 +208,14 @@ class Trainer:
                 (meters.data, meters.count, seg_meter.cm)
             )
             meters.count = int(count)
+            seg_batch_meter.sums, counts = all_reduce_sum_tree(
+                (seg_batch_meter.sums, seg_batch_meter.counts)
+            )
+            seg_batch_meter.counts = {k: int(v) for k, v in counts.items()}
         results = meters.mean()
-        if seg_meter.cm.sum() > 0:
+        if per_batch:
+            results.update(seg_batch_meter.mean())
+        elif seg_meter.cm.sum() > 0:
             results.update(
                 PA=seg_meter.pixel_accuracy(),
                 MPA=seg_meter.mean_pixel_accuracy(),

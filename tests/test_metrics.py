@@ -84,3 +84,35 @@ def test_segmentation_meter_stats():
     np.testing.assert_allclose(meter.mean_iou(), np.mean([5 / 8, 4 / 5, 8 / 10]))
     cpa = meter.class_pixel_accuracy()
     np.testing.assert_allclose(cpa, [5 / 6, 1.0, 8 / 10])
+
+
+def test_per_batch_seg_aggregation_matches_reference_semantics():
+    """eval_seg_per_batch mode (PARITY.md section 2.7 item 7): per-batch
+    metric values averaged NaN-aware over batches — the reference's
+    aggregation (test_us3d.py:120-125) — differs from the global-matrix
+    default exactly when batches have different class mixes."""
+    from semstereo_tpu.train.trainer import _seg_scalars
+    from semstereo_tpu.utils.experiment import AverageMeterDictPerKey
+
+    cm1 = np.array([[8, 0, 0], [1, 3, 0], [0, 0, 0]], np.float64)  # class 2 absent
+    cm2 = np.array([[2, 0, 0], [0, 6, 1], [0, 2, 9]], np.float64)
+
+    meter = AverageMeterDictPerKey()
+    meter.update(_seg_scalars(cm1, 3))
+    meter.update(_seg_scalars(cm2, 3))
+    got = meter.mean()
+
+    def miou(cm):
+        inter = np.diag(cm)
+        union = cm.sum(1) + cm.sum(0) - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.nanmean(inter / union)
+
+    # per-batch: mean of the two batch mIoUs (batch1's NaN class skipped
+    # inside its own mIoU, like the reference's nanmean-per-batch)
+    want = np.mean([miou(cm1), miou(cm2)])
+    np.testing.assert_allclose(got["mIoU"], want)
+    # and it differs from the global-matrix value on this data
+    assert abs(got["mIoU"] - miou(cm1 + cm2)) > 1e-3
+    # IoU2 was NaN in batch 1 -> averaged over batch 2 only
+    np.testing.assert_allclose(got["IoU2"], 9 / 12)
