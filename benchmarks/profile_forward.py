@@ -1,22 +1,26 @@
 #!/usr/bin/env python
 """Per-op profile of the flagship eval forward at 1024x1024.
 
-Captures a jax.profiler trace of the compiled graph and prints the top HLO
-ops by self time (tensorboard_plugin_profile parses the xplane) — the
-ground truth for where the milliseconds go, replacing guesswork from
+Captures a jax.profiler trace of the compiled graph and aggregates the
+device-track events from the perfetto trace.json.gz by HLO-op name prefix —
+the ground truth for where the milliseconds go, replacing guesswork from
 stage-prefix timings.
 
 Usage: python benchmarks/profile_forward.py [--top 40] [--height 1024]
+Prints one JSON line: {"total_ms_per_iter": ..., "top": [[name, ms, pct], ...]}
 """
 
 from __future__ import annotations
 
 import argparse
 import glob
+import gzip
 import json
 import os
+import re
 import sys
 import tempfile
+from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,13 +32,57 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def aggregate_trace(logdir: str, iters: int, top: int) -> dict:
+    """Sum device-lane event durations by op-name stem from the perfetto
+    trace; the TPU device track pids are identified by process name."""
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True)
+    assert paths, f"no trace.json.gz under {logdir}"
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        doc = json.load(f)
+    events = doc["traceEvents"]
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    # thread names like "XLA Op" / "Steps" vary; keep all X-phase events on
+    # device pids except obvious non-op lanes.
+    by_op: dict[str, float] = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "")
+        if name.startswith(("Steps", "prog", "run_")):
+            continue
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        # strip trailing fusion numbering: "fusion.123" -> "fusion";
+        # keep the leading op kind plus any annotated source op in args
+        src = e.get("args", {}).get("long_name") or name
+        stem = re.sub(r"[.\d]+$", "", name)
+        by_op[stem] += dur
+        total += dur
+    ranked = sorted(by_op.items(), key=lambda kv: -kv[1])[:top]
+    return {
+        "total_device_ms_per_iter": round(total / iters, 3),
+        "top": [
+            [k, round(v / iters, 3), round(100 * v / total, 1)] for k, v in ranked
+        ],
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--train", action="store_true", help="profile the train step")
+    p.add_argument(
+        "--cost-volume", default="auto", choices=["auto", "xla", "pallas"]
+    )
+    p.add_argument("--keep", action="store_true", help="keep the trace dir")
     args = p.parse_args()
 
     from semstereo_tpu.models import SemStereo
@@ -44,7 +92,7 @@ def main():
     right = rng.standard_normal((1, h, w, 3)).astype(np.float32)
     left = jnp.asarray(np.roll(right, 8, axis=2), jnp.bfloat16)
     right = jnp.asarray(right, jnp.bfloat16)
-    model = SemStereo(maxdisp=64, num_classes=6)
+    model = SemStereo(maxdisp=64, num_classes=6, cost_volume_impl=args.cost_volume)
     variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
@@ -65,28 +113,10 @@ def main():
             out = fwd(left, right)
         sync(out)
 
-    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
-    assert xplanes, f"no xplane under {logdir}"
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "hlo_stats", {}
-    )
-    blob = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # hlo_stats: list-of-rows table with fields incl. program/category/
-    # occurrences/self time; schema differs by version — locate columns.
-    print(json.dumps(blob)[:200])
-    rows = blob
-    try:
-        cols = [c["name"] if isinstance(c, dict) else c for c in rows[0]]
-        print(cols)
-    except Exception:
-        pass
-    # Fall back: dump raw for offline inspection
-    out_path = "/tmp/hlo_stats.json"
-    with open(out_path, "w") as f:
-        json.dump(blob, f)
-    print("full stats at", out_path)
+    stats = aggregate_trace(logdir, args.iters, args.top)
+    if args.keep:
+        stats["trace_dir"] = logdir
+    print(json.dumps(stats))
 
 
 if __name__ == "__main__":
