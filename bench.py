@@ -52,7 +52,12 @@ def main():
     rng = np.random.default_rng(0)
     left = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     right = jnp.asarray(np.roll(np.asarray(left), 8, axis=2))
-    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    # jit the init: eager init dispatches thousands of tiny ops one RTT at a
+    # time through the axon tunnel (~13 min wall for a 36 s-CPU bench run,
+    # measured); one jitted (and persistently cached) init program makes
+    # warm-start reruns ~1 min.
+    init = jax.jit(lambda l, r: model.init(jax.random.PRNGKey(0), l, r, train=False))
+    variables = init(left, right)
     if dtype != jnp.float32:
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables

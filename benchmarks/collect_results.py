@@ -24,7 +24,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SECTIONS = {
     "bench_eval_default": [sys.executable, "bench.py"],
-    "bench_eval_xla_conv3d": [sys.executable, "bench.py"],  # env below
+    "bench_eval_pallas_conv3d": [sys.executable, "bench.py"],  # env below
+    "bench_eval_pallas_cv": [sys.executable, "bench.py", "--cost-volume", "pallas"],
     "roofline": [sys.executable, "benchmarks/roofline.py"],
     "model_breakdown": [sys.executable, "benchmarks/model_breakdown.py"],
     "train_step_b4": [sys.executable, "benchmarks/train_step.py", "--batch", "4"],
@@ -39,7 +40,7 @@ SECTIONS = {
         "--height", "32", "--width", "32",
     ],
 }
-ENVS = {"bench_eval_xla_conv3d": {"SEMSTEREO_NO_PALLAS_CONV3D": "1"}}
+ENVS = {"bench_eval_pallas_conv3d": {"SEMSTEREO_PALLAS_CONV3D": "1"}}
 
 
 def run_section(name: str, timeout: int) -> dict:

@@ -68,24 +68,24 @@ def measure(stage: str, h: int, w: int, dtype) -> float:
 
     if stage == "backbone_x2":
         bb = MobileViTv2Backbone()
-        vb = cast(bb.init(jax.random.PRNGKey(0), left))
+        vb = cast(jax.jit(lambda l: bb.init(jax.random.PRNGKey(0), l))(left))
         return timed_loop(
             lambda l, r: bb.apply(vb, l)[0] + bb.apply(vb, r)[0], (left, right)
         )
     if stage == "seg_graph":
         m = SemStereo(maxdisp=64, stereo_if=False)
-        v = cast(m.init(jax.random.PRNGKey(0), left, right))
+        v = cast(jax.jit(lambda l, r: m.init(jax.random.PRNGKey(0), l, r))(left, right))
         return timed_loop(
             lambda l, r: m.apply(v, l, r)["label_l"], (left, right)
         )
     if stage == "stage1_graph":
         m = SemStereo(maxdisp=64, att_weights_only=True)
-        v = cast(m.init(jax.random.PRNGKey(0), left, right))
+        v = cast(jax.jit(lambda l, r: m.init(jax.random.PRNGKey(0), l, r))(left, right))
         return timed_loop(
             lambda l, r: m.apply(v, l, r)["disp"][0], (left, right)
         )
     m = SemStereo(maxdisp=64)
-    v = cast(m.init(jax.random.PRNGKey(0), left, right))
+    v = cast(jax.jit(lambda l, r: m.init(jax.random.PRNGKey(0), l, r))(left, right))
     return timed_loop(lambda l, r: m.apply(v, l, r)["disp"][0], (left, right))
 
 

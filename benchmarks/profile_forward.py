@@ -93,7 +93,9 @@ def main():
     left = jnp.asarray(np.roll(right, 8, axis=2), jnp.bfloat16)
     right = jnp.asarray(right, jnp.bfloat16)
     model = SemStereo(maxdisp=64, num_classes=6, cost_volume_impl=args.cost_volume)
-    variables = model.init(jax.random.PRNGKey(0), left, right, train=False)
+    variables = jax.jit(
+        lambda l, r: model.init(jax.random.PRNGKey(0), l, r, train=False)
+    )(left, right)
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
     )

@@ -88,7 +88,7 @@ def bench_hourglass(batch, iters, dtype):
     b, d, h, w, c = batch, 24, 256, 256, 32
     model = Hourglass3D(32, (6, 4, 4))
     x = jnp.zeros((b, d, h, w, c), dtype)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(lambda xx: model.init(jax.random.PRNGKey(0), xx))(x)
     if dtype != jnp.float32:
         variables = jax.tree_util.tree_map(
             lambda v: v.astype(dtype) if v.dtype == jnp.float32 else v, variables

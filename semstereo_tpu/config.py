@@ -25,7 +25,7 @@ class ModelConfig:
     stereo_if: bool = True
     topk: int = 24
     refine_topk: int = 2
-    cost_volume_impl: str = "auto"  # auto (pallas on TPU) | xla | pallas
+    cost_volume_impl: str = "auto"  # auto (=xla; see ops/cost_volume.py) | xla | pallas
     att_window1: Tuple[int, int, int] = (4, 4, 4)
     att_window2: Tuple[int, int, int] = (6, 4, 4)
     shard_disp: bool = False  # shard cost-volume disparity planes over mesh 'disp'

@@ -62,14 +62,17 @@ def conv_nd(
         and groups == 1
         and all(p == (1, 1) for p in padding)
         and jax.default_backend() == "tpu"
-        and os.environ.get("SEMSTEREO_NO_PALLAS_CONV3D") != "1"
+        and os.environ.get("SEMSTEREO_PALLAS_CONV3D") == "1"
     ):
+        # OPT-IN (SEMSTEREO_PALLAS_CONV3D=1).  The W-in-lanes kernel wins its
+        # microbenchmarks (XLA's narrow-channel NDHWC convs run at 4-12% of
+        # MXU peak with T(8,128) relayout copies; the kernel keeps width in
+        # lanes and packs 128//Cout output rows per tile) but LOSES 3.6%
+        # whole-model eval throughput when default-on (A/B at 1024x1024,
+        # benchmarks/results_r4.json: 13.12 pairs/s XLA vs 12.65 Pallas with
+        # the XLA cost volume fixed) — custom-call layout transitions eat the
+        # per-conv win.  Kept for configs/shapes where the 3-D convs dominate.
         s = stride[0]
-        # Narrow-channel 3-D convs (hourglass entries, concat stem,
-        # classifier) run at 4-12% of MXU peak through XLA's conv path
-        # (utilization ~ (Cin/128)*(Cout/128) plus T(8,128) relayout
-        # copies); the W-in-lanes Pallas kernel keeps width in lanes and
-        # packs 128//Cout output rows per MXU tile instead.
         from semstereo_tpu.ops.pallas import conv3d_wl as _wl
 
         if kernel.shape[-1] < 128 and _wl.supported(x.shape, kernel.shape, s):

@@ -79,24 +79,25 @@ def gwc_volume_norm(
 ) -> jax.Array:
     """Dispatching wrapper; see module docstring.
 
-    impl='auto' (default) selects the Pallas kernel on TPU (measured ~10x
-    faster than the XLA lowering at the flagship /8 shape: one-pass VMEM
-    tiling vs per-plane HBM re-reads) and the XLA path elsewhere (Pallas
-    compiles only in interpreter mode off-TPU).  The channel count must
-    divide into lane-aligned groups for the kernel's selector matmuls;
-    irregular shapes fall back to XLA.
+    impl='auto' (default) selects the XLA path.  The Pallas kernel wins its
+    microbenchmark (0.135 ms vs 0.486 ms at the flagship /8 shape: one-pass
+    VMEM tiling vs per-plane HBM re-reads) but LOSES ~7% whole-model eval
+    throughput when dispatched inside the flagship graph (A/B at 1024x1024,
+    benchmarks/results_r4.json: 13.12 pairs/s XLA vs 12.19 Pallas with
+    everything else fixed) — the custom call acts as a layout/fusion barrier
+    whose surrounding copies cost more than the kernel saves.  Keep
+    impl='pallas' opt-in for configs where the volume build dominates.
+    Off-TPU, Pallas compiles only in interpreter mode, so auto is always XLA
+    there; the kernel also requires lane-aligned groups (C % 128 == 0).
     """
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if on_tpu and left.shape[-1] % 128 == 0 else "xla"
-        # Trace-time breadcrumb: a config whose channel count breaks the
-        # lane-alignment gate silently changes perf class; make the choice
-        # visible once per compiled graph.
+        impl = "xla"
+        # Trace-time breadcrumb so dispatch changes stay visible per graph.
         import logging
 
         logging.getLogger(__name__).info(
-            "gwc_volume_norm auto-dispatch -> %s (backend=%s, C=%d, shape=%s)",
-            impl, jax.default_backend(), left.shape[-1], tuple(left.shape),
+            "gwc_volume_norm auto-dispatch -> %s (backend=%s, shape=%s)",
+            impl, jax.default_backend(), tuple(left.shape),
         )
     if impl == "pallas":
         from semstereo_tpu.ops.pallas.cost_volume_kernel import gwc_volume_norm_pallas

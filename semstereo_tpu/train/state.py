@@ -61,7 +61,11 @@ def init_state(cfg: TrainConfig, sample_shape: tuple[int, int, int, int]) -> Tra
     (B, H, W, C) and a fresh optimizer state."""
     model = build_model(cfg)
     dummy = jnp.zeros(sample_shape, jnp.float32)
-    variables = model.init(jax.random.PRNGKey(cfg.seed), dummy, dummy, train=False)
+    # jitted init: eager init is thousands of per-op dispatches (minutes
+    # through a remote-device tunnel); one compiled+cached program instead.
+    variables = jax.jit(
+        lambda d: model.init(jax.random.PRNGKey(cfg.seed), d, d, train=False)
+    )(dummy)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if cfg.model.pretrained_backbone:
