@@ -36,7 +36,11 @@ def main():
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument(
         "--cost-volume", default="auto", choices=["auto", "xla", "pallas"],
-        help="cost-volume impl (A/B dimension; auto = pallas on TPU)",
+        help="cost-volume impl (A/B dimension)",
+    )
+    p.add_argument(
+        "--warp", default="onehot", choices=["onehot", "shifts", "gather"],
+        help="disparity-warp impl (A/B dimension)",
     )
     args = p.parse_args()
 
@@ -44,7 +48,10 @@ def main():
 
     from semstereo_tpu.models import SemStereo
 
-    model = SemStereo(maxdisp=64, num_classes=6, cost_volume_impl=args.cost_volume)
+    model = SemStereo(
+        maxdisp=64, num_classes=6,
+        cost_volume_impl=args.cost_volume, warp_impl=args.warp,
+    )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     shape = (args.batch, args.height, args.width, 3)
     # Random (seeded) inputs: all-zero images drive degenerate ReLU/softmax

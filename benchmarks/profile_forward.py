@@ -50,26 +50,26 @@ def aggregate_trace(logdir: str, iters: int, top: int) -> dict:
     # thread names like "XLA Op" / "Steps" vary; keep all X-phase events on
     # device pids except obvious non-op lanes.
     by_op: dict[str, float] = defaultdict(float)
+    by_stem: dict[str, float] = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         name = e.get("name", "")
-        if name.startswith(("Steps", "prog", "run_")):
+        # skip the whole-program wrapper event (double-counts everything
+        # beneath it) and step/bookkeeping lanes
+        if name.startswith(("Steps", "prog", "run_", "jit_", "tpu_")):
             continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
-        # strip trailing fusion numbering: "fusion.123" -> "fusion";
-        # keep the leading op kind plus any annotated source op in args
-        src = e.get("args", {}).get("long_name") or name
-        stem = re.sub(r"[.\d]+$", "", name)
-        by_op[stem] += dur
+        by_op[name] += dur
+        by_stem[re.sub(r"[.\d]+$", "", name)] += dur
         total += dur
-    ranked = sorted(by_op.items(), key=lambda kv: -kv[1])[:top]
+    rank = lambda d, n: sorted(d.items(), key=lambda kv: -kv[1])[:n]
+    fmt = lambda kv: [kv[0], round(kv[1] / iters, 3), round(100 * kv[1] / total, 1)]
     return {
         "total_device_ms_per_iter": round(total / iters, 3),
-        "top": [
-            [k, round(v / iters, 3), round(100 * v / total, 1)] for k, v in ranked
-        ],
+        "top_ops": [fmt(kv) for kv in rank(by_op, top)],
+        "by_kind": [fmt(kv) for kv in rank(by_stem, 15)],
     }
 
 

@@ -44,6 +44,14 @@ def disparity_warp(
     Out-of-band / out-of-image taps match nothing or hit the zero padding,
     giving grid_sample's zeros padding for free.
 
+    impl='shifts': same banded math as a sum of statically-shifted
+    multiply-adds instead of a one-hot einsum.  Everything is elementwise +
+    static slices, so XLA fuses the whole band into one loop fusion: the
+    [B,H,W,O,C] shifted stack and the [B,D,H,W,O] weight tensor are never
+    materialized, and no dot forces operand layouts (the einsum variant
+    spends more time in relayout copies around the contraction than in the
+    contraction itself — see benchmarks/results_r4.json profile).
+
     impl='gather': take_along_axis reference path (oracle for parity tests).
 
     Coordinates are always computed in float32 regardless of feature dtype:
@@ -59,6 +67,25 @@ def disparity_warp(
     frac = xs - x0  # [B, D, H, W] float32
     x0i = x0.astype(jnp.int32)
     x1i = x0i + 1
+
+    if impl == "shifts":
+        assert max_offset is not None, "impl='shifts' needs a band"
+        hi = int(max_offset)
+        lo = -hi if min_offset is None else int(min_offset)
+        assert lo <= 0 <= hi + 1, (lo, hi)
+        n_off = hi - lo + 2
+        padded = jnp.pad(right, ((0, 0), (0, 0), (-lo, hi + 1), (0, 0)))
+        cols = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
+        o0 = x0i - cols - lo  # band index of the floor tap, [B, D, H, W]
+        fr = frac.astype(right.dtype)
+        one = jnp.ones((), right.dtype)
+        out = jnp.zeros((b, disp.shape[1], h, w, c), right.dtype)
+        for o in range(n_off):
+            w_o = jnp.where(o0 == o, one - fr, 0.0) + jnp.where(
+                o0 == o - 1, fr, 0.0
+            )  # [B, D, H, W], fused away
+            out = out + w_o[..., None] * padded[:, None, :, o : o + w]
+        return out
 
     if impl == "onehot":
         if max_offset is None:
@@ -82,12 +109,16 @@ def disparity_warp(
         cols = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
         o0 = x0i - cols - lo  # band index of the floor tap
         orange = jnp.arange(n_off, dtype=jnp.int32)
-        wrel = (1.0 - frac)[..., None] * (o0[..., None] == orange) + frac[
-            ..., None
-        ] * ((o0 + 1)[..., None] == orange)
-        return jnp.einsum(
-            "bdhwo,bhwoc->bdhwc", wrel.astype(right.dtype), shifted
-        )
+        # Cast frac to the feature dtype BEFORE building the [B,D,H,W,O]
+        # band (the coords themselves stay fp32 above): the two tap masks
+        # never overlap (o0 vs o0+1), so bf16(frac)*mask summed equals the
+        # fp32 band cast afterwards bit-for-bit — at half the bytes for the
+        # graph's largest intermediate.
+        fr = frac.astype(right.dtype)
+        wrel = (1.0 - fr)[..., None] * (o0[..., None] == orange).astype(
+            right.dtype
+        ) + fr[..., None] * ((o0 + 1)[..., None] == orange).astype(right.dtype)
+        return jnp.einsum("bdhwo,bhwoc->bdhwc", wrel, shifted)
 
     def tap(xi):
         valid = (xi >= 0) & (xi < w)

@@ -93,6 +93,24 @@ def test_onehot_impls_match_gather(rng):
     np.testing.assert_allclose(banded, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_shifts_impl_matches_gather(rng):
+    """Fused static-shift accumulation variant (no einsum) vs the gather
+    oracle, symmetric and asymmetric bands."""
+    b, c, h, w, nd = 2, 3, 4, 20, 5
+    right = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    disp = rng.uniform(-8, 8, (b, nd, h, w)).astype(np.float32)
+    ref = np.asarray(disparity_warp(right, disp, impl="gather"))
+    got = np.asarray(disparity_warp(right, disp, impl="shifts", max_offset=8))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    disp_pos = rng.uniform(0, 8, (b, nd, h, w)).astype(np.float32)
+    ref = np.asarray(disparity_warp(right, disp_pos, impl="gather"))
+    got = np.asarray(
+        disparity_warp(right, disp_pos, impl="shifts", max_offset=0, min_offset=-8)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
 def test_asymmetric_band_matches_gather(rng):
     """Positive-only (WHU) disparities use a [-d, 1] band half as wide as the
     symmetric one; must still match the gather oracle exactly."""
