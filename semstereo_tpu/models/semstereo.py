@@ -83,7 +83,10 @@ class SemStereo(nn.Module):
     topk: int = 24
     refine_topk: int = 2
     cost_volume_impl: str = "auto"
-    warp_impl: str = "onehot"  # onehot (MXU banded contraction) | gather
+    # shifts (fused static-shift accumulation; +0.6 pairs/s over the one-hot
+    # einsum at the flagship shape, benchmarks/results_r4.json) | onehot
+    # (MXU banded contraction) | gather (take_along_axis oracle)
+    warp_impl: str = "shifts"
     # Attention windows at the two hourglass bottlenecks (reference: (4,4,4)
     # and (6,4,4), SemStereo.py:122,161).  The bottleneck depth D/4 must be a
     # multiple of the window depth; override for reduced-maxdisp configs.

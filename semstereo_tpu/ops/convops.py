@@ -77,12 +77,37 @@ def conv_nd(
 
         if kernel.shape[-1] < 128 and _wl.supported(x.shape, kernel.shape, s):
             return _wl.conv3d_wl(x, kernel, s, False)
-        if s == 1 and kernel.shape[-1] == 1 and x.shape[1] <= 32:
-            # Cout=1 classifier head: fold D into channels -> one 2-D conv
-            # with Cin=(D+2)*C (a block-banded kernel), Cout=D — 1/128th-
-            # lane MXU fill becomes D/128 (measured 3.1 ms -> sub-ms at the
-            # stage-2 classif shape, reference SemStereo.py:171-177).
-            return _conv3d_cout1_dfold(x, kernel)
+    if (
+        nsp == 3
+        and stride == (1, 1, 1)
+        and dilation == (1, 1, 1)
+        and groups == 1
+        and all(p == (1, 1) for p in padding)
+        and kernel.shape[:3] == (3, 3, 3)
+        and kernel.shape[-1] == 1
+        and x.shape[1] <= 32
+    ):
+        # Cout=1 classifier head: fold D into channels -> one 2-D conv with
+        # Cin=(D+2)*C (a block-banded kernel), Cout=D — 1/128th-lane MXU
+        # fill becomes D/128.  Pure XLA, default-on: the direct conv runs at
+        # 0.4% MXU (3.14 ms profiled at the stage-2 classif shape,
+        # reference SemStereo.py:171-177); this form is sub-ms.
+        return _conv3d_cout1_dfold(x, kernel)
+    if (
+        nsp == 3
+        and kernel.shape[0] == 3
+        and stride[0] in (1, 2)
+        and stride[1:] == stride[:1] * 2
+        and dilation == (1, 1, 1)
+        and groups == 1
+        and padding[0] == (1, 1)
+        and os.environ.get("SEMSTEREO_CONV3D_KDSPLIT") == "1"
+    ):
+        # EXPERIMENT (opt-in): decompose the 3x3x3 conv into 3 kd-plane 2-D
+        # convs on a (B*D)-batched NHWC view — same FLOPs, but XLA's 2-D conv
+        # path instead of the 5-D layouts whose relayout copies bracket every
+        # volume conv in the profile.
+        return _conv3d_kdsplit(x, kernel, stride[0], padding[1:], precision)
     return lax.conv_general_dilated(
         x,
         kernel,
@@ -93,6 +118,31 @@ def conv_nd(
         feature_group_count=groups,
         precision=precision,
     )
+
+
+def _conv3d_kdsplit(x, kernel, s, pad_hw, precision):
+    """3xKhxKw stride-s pad-1(-D) conv as a sum over the 3 kd taps of 2-D
+    convs: out[b,do] = sum_kd conv2d(x[b, s*do + kd - 1], K[kd])."""
+    b, d, h, w, c = x.shape
+    f = kernel.shape[-1]
+    od = (d + 2 - 3) // s + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for kd in range(3):
+        # planes kd, kd+s, ..., kd+s*(od-1)
+        sl = lax.slice(xp, (0, kd, 0, 0, 0), (b, kd + s * (od - 1) + 1, h, w, c),
+                       (1, s, 1, 1, 1))
+        y = lax.conv_general_dilated(
+            sl.reshape(b * od, h, w, c),
+            kernel[kd],
+            window_strides=(s, s),
+            padding=pad_hw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
+        out = y if out is None else out + y
+    oh, ow = out.shape[1:3]
+    return out.reshape(b, od, oh, ow, f)
 
 
 def _conv3d_cout1_dfold(x: jax.Array, kernel: jax.Array) -> jax.Array:

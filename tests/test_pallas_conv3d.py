@@ -163,3 +163,16 @@ def test_supported_gate_matches_model_shapes():
     assert not wl.supported((1, 16, 128, 128, 32), k(32, 64), 2)  # ow=64
     assert not wl.supported((1, 8, 64, 64, 64), k(64, 64), 1)     # W=64
     assert not wl.supported((1, 12, 128, 128, 64), k(64, 128), 2)  # ow=64
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_kdsplit_matches_xla(rng, monkeypatch, stride):
+    """Opt-in kd-plane decomposition (SEMSTEREO_CONV3D_KDSPLIT=1): 3 batched
+    2-D convs summed must equal the direct 3-D conv."""
+    from semstereo_tpu.ops.convops import _conv3d_kdsplit
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 10, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 8)) * 0.1, jnp.float32)
+    ref = _ref(x, k, stride)
+    got = _conv3d_kdsplit(x, k, stride, [(1, 1), (1, 1)], None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
