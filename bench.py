@@ -39,8 +39,12 @@ def main():
         help="cost-volume impl (A/B dimension)",
     )
     p.add_argument(
-        "--warp", default="onehot", choices=["onehot", "shifts", "gather"],
+        "--warp", default="shifts", choices=["onehot", "shifts", "gather"],
         help="disparity-warp impl (A/B dimension)",
+    )
+    p.add_argument(
+        "--no-fuse-views", action="store_true",
+        help="two-pass front end instead of view-stacked eval batching",
     )
     args = p.parse_args()
 
@@ -51,6 +55,7 @@ def main():
     model = SemStereo(
         maxdisp=64, num_classes=6,
         cost_volume_impl=args.cost_volume, warp_impl=args.warp,
+        fuse_views=False if args.no_fuse_views else None,
     )
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     shape = (args.batch, args.height, args.width, 3)

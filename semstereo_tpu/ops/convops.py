@@ -86,12 +86,15 @@ def conv_nd(
         and kernel.shape[:3] == (3, 3, 3)
         and kernel.shape[-1] == 1
         and x.shape[1] <= 32
+        and os.environ.get("SEMSTEREO_CONV3D_DFOLD") == "1"
     ):
         # Cout=1 classifier head: fold D into channels -> one 2-D conv with
-        # Cin=(D+2)*C (a block-banded kernel), Cout=D — 1/128th-lane MXU
-        # fill becomes D/128.  Pure XLA, default-on: the direct conv runs at
-        # 0.4% MXU (3.14 ms profiled at the stage-2 classif shape,
-        # reference SemStereo.py:171-177); this form is sub-ms.
+        # Cin=(D+2)*C (a block-banded kernel), Cout=D.  The direct conv runs
+        # at 0.4% MXU (3.14 ms profiled at the stage-2 classif shape,
+        # reference SemStereo.py:171-177) and this form's conv is sub-ms —
+        # but in-model the D<->HW transposes around it give back the win
+        # (A/B: 13.79 pairs/s direct vs 13.69 dfold, results_r4.json), so
+        # it stays opt-in (SEMSTEREO_CONV3D_DFOLD=1).
         return _conv3d_cout1_dfold(x, kernel)
     if (
         nsp == 3
