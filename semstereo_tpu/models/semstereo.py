@@ -100,8 +100,12 @@ class SemStereo(nn.Module):
     # mesh's 'space' axis (spatial parallelism; GSPMD adds conv halo exchange).
     shard_spatial: bool = False
     # Batch the two views through the shared front end (backbone/FeatUp/chal)
-    # in eval mode.  None => automatic (fused when train=False); False forces
-    # the two-pass path (parity testing).
+    # in eval mode.  None => automatic, which is the TWO-PASS path: stacking
+    # the views halves kernel count but the per-level concat/slice boundaries
+    # break XLA's conv layout propagation and fusions — measured 13.79
+    # (fused) vs 15.32 pairs/s (two-pass) at the flagship eval shape
+    # (benchmarks/results_r4.json).  True forces fusing (it is numerically
+    # identical: eval BN uses running stats).
     fuse_views: bool | None = None
     # Rematerialize the backbone and 3-D hourglasses on the backward pass —
     # trades ~1/3 extra FLOPs for the activation memory of the stage-2
@@ -147,7 +151,7 @@ class SemStereo(nn.Module):
         # count halves and every conv runs at 2x batch (better MXU shapes at
         # B=1 serving).  Train keeps two passes: reference DataParallel
         # computes BN batch stats per feature() call (SURVEY.md section 2.6).
-        fuse_views = (not train) if self.fuse_views is None else (self.fuse_views and not train)
+        fuse_views = bool(self.fuse_views) and not train
         if fuse_views:
             feats = featup(backbone(jnp.concatenate([left, right], axis=0), train), train)
             feat_l = [f[:b] for f in feats]

@@ -51,12 +51,11 @@ def test_eval_full_mode(full_model):
 
 
 def test_fused_views_matches_two_pass_eval(full_model):
-    """Eval batches both views through the shared front end; with BN on
-    running stats this must equal the two-pass path to float tolerance."""
+    """The optional view-stacked eval front end (fuse_views=True) must equal
+    the default two-pass path to float tolerance (BN on running stats)."""
     m, variables, left, right = full_model
-    fused = m.apply(variables, left, right, train=False)
-    m2 = m.clone(fuse_views=False)
-    twopass = m2.apply(variables, left, right, train=False)
+    fused = m.clone(fuse_views=True).apply(variables, left, right, train=False)
+    twopass = m.apply(variables, left, right, train=False)
     np.testing.assert_allclose(
         np.asarray(fused["disp"][0]), np.asarray(twopass["disp"][0]),
         rtol=1e-4, atol=1e-4,
