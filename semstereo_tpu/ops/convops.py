@@ -62,20 +62,26 @@ def conv_nd(
         and groups == 1
         and all(p == (1, 1) for p in padding)
         and jax.default_backend() == "tpu"
-        and os.environ.get("SEMSTEREO_PALLAS_CONV3D") == "1"
+        and os.environ.get("SEMSTEREO_PALLAS_CONV3D") in ("1", "all", "s1")
     ):
-        # OPT-IN (SEMSTEREO_PALLAS_CONV3D=1).  The W-in-lanes kernel wins its
-        # microbenchmarks (XLA's narrow-channel NDHWC convs run at 4-12% of
-        # MXU peak with T(8,128) relayout copies; the kernel keeps width in
-        # lanes and packs 128//Cout output rows per tile) but LOSES 3.6%
-        # whole-model eval throughput when default-on (A/B at 1024x1024,
-        # benchmarks/results_r4.json: 13.12 pairs/s XLA vs 12.65 Pallas with
-        # the XLA cost volume fixed) — custom-call layout transitions eat the
-        # per-conv win.  Kept for configs/shapes where the 3-D convs dominate.
+        # OPT-IN (SEMSTEREO_PALLAS_CONV3D=s1|all).  The W-in-lanes kernel
+        # wins its stride-1 microbenchmarks 2-3x (XLA's narrow-channel NDHWC
+        # convs run at 8-33% of roofline with T(8,128) relayout copies; the
+        # kernel keeps width in lanes and packs 128//Cout output rows per
+        # tile) but the stride-2 variant LOSES 4x at the hourglass entry
+        # shape (roofline, results_r4.json), and with BOTH enabled the whole
+        # model drops 3.6% (13.12 -> 12.65 pairs/s) — custom-call layout
+        # transitions plus the s2 loss eat the s1 wins.  's1' dispatches
+        # only the winning stride-1 shapes.
         s = stride[0]
+        mode = os.environ["SEMSTEREO_PALLAS_CONV3D"]
         from semstereo_tpu.ops.pallas import conv3d_wl as _wl
 
-        if kernel.shape[-1] < 128 and _wl.supported(x.shape, kernel.shape, s):
+        if (
+            kernel.shape[-1] < 128
+            and (s == 1 or mode in ("1", "all"))
+            and _wl.supported(x.shape, kernel.shape, s)
+        ):
             return _wl.conv3d_wl(x, kernel, s, False)
     if (
         nsp == 3
