@@ -49,6 +49,7 @@ from semstereo_tpu.ops import (
     regression_topk,
     resize_trilinear,
     topk_planes,
+    warp_strength,
     warp_with_left,
 )
 
@@ -239,11 +240,11 @@ class SemStereo(nn.Module):
             min_off, max_off = -(d4 // 2), d4 // 2
         else:
             min_off, max_off = -d4, 0
-        warped_r, tiled_l = warp_with_left(
-            fl[1], fr1, disp_samples, impl=self.warp_impl,
-            max_offset=max_off, min_offset=min_off,
-        )
-        strength = jnp.mean(tiled_l * warped_r, axis=-1)  # [B, 5, H4, W4]
+        # correlate-then-lerp form of mean_c(left * warp(right)) — identical
+        # math, ~5x cheaper than the fused warp+reduce (ops/warp.py)
+        strength = warp_strength(
+            fl[1], fr1, disp_samples, max_off, min_off
+        )  # [B, 5, H4, W4]
         strength = jax.nn.softmax(strength * conf_samples, axis=1)
 
         att_weights = propagate5_volume(att_weights)  # [B, 5, D4, H4, W4]

@@ -22,7 +22,12 @@ from semstereo_tpu.ops.resize import (
     resize_nearest,
     resize_trilinear,
 )
-from semstereo_tpu.ops.warp import disparity_warp, lrsc_label_warp, warp_with_left
+from semstereo_tpu.ops.warp import (
+    disparity_warp,
+    lrsc_label_warp,
+    warp_strength,
+    warp_with_left,
+)
 
 __all__ = [
     "conv_nd",
@@ -43,5 +48,6 @@ __all__ = [
     "downsample_nearest_strided",
     "disparity_warp",
     "lrsc_label_warp",
+    "warp_strength",
     "warp_with_left",
 ]

@@ -62,7 +62,7 @@ def conv_nd(
         and groups == 1
         and all(p == (1, 1) for p in padding)
         and jax.default_backend() == "tpu"
-        and os.environ.get("SEMSTEREO_PALLAS_CONV3D") in ("1", "all", "s1")
+        and os.environ.get("SEMSTEREO_PALLAS_CONV3D") in ("1", "all", "s1", "stem")
     ):
         # OPT-IN (SEMSTEREO_PALLAS_CONV3D=s1|all).  The W-in-lanes kernel
         # wins its stride-1 microbenchmarks 2-3x (XLA's narrow-channel NDHWC
@@ -77,9 +77,15 @@ def conv_nd(
         mode = os.environ["SEMSTEREO_PALLAS_CONV3D"]
         from semstereo_tpu.ops.pallas import conv3d_wl as _wl
 
+        if mode == "stem":
+            # narrowest experiment: only the Cin=64 -> F=32 stride-1 stem
+            # conv (the graph's single largest fusion, 7.4 ms profiled)
+            ok = s == 1 and x.shape[-1] == 64 and kernel.shape[-1] == 32
+        else:
+            ok = s == 1 or mode in ("1", "all")
         if (
             kernel.shape[-1] < 128
-            and (s == 1 or mode in ("1", "all"))
+            and ok
             and _wl.supported(x.shape, kernel.shape, s)
         ):
             return _wl.conv3d_wl(x, kernel, s, False)
@@ -92,15 +98,16 @@ def conv_nd(
         and kernel.shape[:3] == (3, 3, 3)
         and kernel.shape[-1] == 1
         and x.shape[1] <= 32
-        and os.environ.get("SEMSTEREO_CONV3D_DFOLD") == "1"
+        and os.environ.get("SEMSTEREO_NO_CONV3D_DFOLD") != "1"
     ):
         # Cout=1 classifier head: fold D into channels -> one 2-D conv with
         # Cin=(D+2)*C (a block-banded kernel), Cout=D.  The direct conv runs
-        # at 0.4% MXU (3.14 ms profiled at the stage-2 classif shape,
-        # reference SemStereo.py:171-177) and this form's conv is sub-ms —
-        # but in-model the D<->HW transposes around it give back the win
-        # (A/B: 13.79 pairs/s direct vs 13.69 dfold, results_r4.json), so
-        # it stays opt-in (SEMSTEREO_CONV3D_DFOLD=1).
+        # at 0.4% MXU (3.8 ms profiled at the stage-2 classif shape,
+        # reference SemStereo.py:171-177); this form is sub-ms.  Default-on:
+        # +0.43 pairs/s whole-model in the two-pass graph (15.41 -> 15.83,
+        # results_r4.json).  It had lost 0.1 in the earlier fused-views
+        # graph — dispatch decisions are graph-global, re-A/B after
+        # structural changes.  Opt-out: SEMSTEREO_NO_CONV3D_DFOLD=1.
         return _conv3d_cout1_dfold(x, kernel)
     if (
         nsp == 3

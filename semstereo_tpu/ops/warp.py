@@ -131,6 +131,59 @@ def disparity_warp(
     return (1.0 - fr) * tap(x0i) + fr * tap(x1i)
 
 
+def warp_strength(
+    left: jax.Array,
+    right: jax.Array,
+    disp_samples: jax.Array,
+    max_offset: int,
+    min_offset: int | None = None,
+) -> jax.Array:
+    """``mean_c(left * disparity_warp(right, disp))`` without materializing
+    the warp: correlate FIRST (a G=1 cost volume over the static offset band
+    — C is reduced once per offset), then bilinearly lerp the two bracketing
+    correlation planes per pixel.
+
+    Identical math to the reference's SpatialTransformer_grid + mean product
+    (SemStereo.py:289-292): zero padding makes out-of-image taps contribute
+    0 to the product, exactly like masking the correlation plane.  The fused
+    warp+reduce recomputes the per-(d,h,w) tap weights for every channel
+    (3.8 ms profiled at the flagship stage-1 shape); this form runs the C
+    reduction at matmul rate and the lerp on C-free [B,D,H,W] planes.
+
+    left: [B,H,W,C]; right: [B,H,W,C]; disp_samples: [B,D,H,W].
+    Returns [B, D, H, W] fp32-accurate in the feature dtype.
+    """
+    b, h, w, c = right.shape
+    hi = int(max_offset)
+    lo = -hi if min_offset is None else int(min_offset)
+    assert lo <= 0 <= hi + 1, (lo, hi)
+    n_off = hi - lo + 2
+
+    # correlation band: corr[b,o,h,w] = mean_c l[...,c] * r[b,h,w+lo+o,c],
+    # zero outside the image
+    padded = jnp.pad(right, ((0, 0), (0, 0), (-lo, hi + 1), (0, 0)))
+    corr = jnp.stack(
+        [
+            jnp.mean(left * padded[:, :, o : o + w], axis=-1)
+            for o in range(n_off)
+        ],
+        axis=1,
+    )  # [B, O, H, W]
+
+    disp = disp_samples.astype(jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, None, :] - disp
+    x0 = jnp.floor(xs)
+    frac = xs - x0
+    o0 = x0.astype(jnp.int32) - jnp.arange(w, dtype=jnp.int32) - lo
+    fr = frac.astype(corr.dtype)
+
+    out = jnp.zeros(disp_samples.shape, corr.dtype)
+    for o in range(n_off):
+        w_o = jnp.where(o0 == o, 1.0 - fr, 0.0) + jnp.where(o0 == o - 1, fr, 0.0)
+        out = out + w_o * corr[:, o : o + 1]
+    return out
+
+
 def warp_with_left(
     left: jax.Array,
     right: jax.Array,

@@ -157,3 +157,27 @@ def test_take_along_last_onehot_matches_gather(rng):
     ref = np.take_along_axis(x, ind, axis=-1)
     out = np.asarray(take_along_last_onehot(x, ind.astype(np.int32)))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_warp_strength_matches_naive(rng):
+    """Correlate-then-lerp strength == mean_c(left * warped_right), both
+    symmetric and asymmetric bands, including out-of-image zeros."""
+    from semstereo_tpu.ops.warp import warp_strength
+
+    b, c, h, w, nd = 2, 6, 4, 20, 5
+    left = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    right = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    disp = rng.uniform(-8, 8, (b, nd, h, w)).astype(np.float32)
+
+    warped = np.asarray(disparity_warp(right, disp, impl="gather"))
+    want = (left[:, None] * warped).mean(axis=-1)
+    got = np.asarray(warp_strength(left, right, disp, max_offset=8))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    disp_pos = rng.uniform(0, 8, (b, nd, h, w)).astype(np.float32)
+    warped = np.asarray(disparity_warp(right, disp_pos, impl="gather"))
+    want = (left[:, None] * warped).mean(axis=-1)
+    got = np.asarray(
+        warp_strength(left, right, disp_pos, max_offset=0, min_offset=-8)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
