@@ -96,6 +96,23 @@ def conv_nd(
         and groups == 1
         and all(p == (1, 1) for p in padding)
         and kernel.shape[:3] == (3, 3, 3)
+        and 1 < kernel.shape[-1] <= 64
+        and x.shape[1] % 4 == 0
+        and os.environ.get("SEMSTEREO_NO_CONV3D_DTILE") != "1"
+    ):
+        # D-tiled dense fold of every narrow stride-1 volume conv (see
+        # _conv3d_dtile).  Default-on: +1.08 pairs/s whole-model (17.01 ->
+        # 18.09, benchmarks/results_r4.json) — 2x the MACs at full 128-lane
+        # fill beats XLA's 6%-of-peak narrow-C direct conv.  Opt-out:
+        # SEMSTEREO_NO_CONV3D_DTILE=1.
+        return _conv3d_dtile(x, kernel)
+    if (
+        nsp == 3
+        and stride == (1, 1, 1)
+        and dilation == (1, 1, 1)
+        and groups == 1
+        and all(p == (1, 1) for p in padding)
+        and kernel.shape[:3] == (3, 3, 3)
         and kernel.shape[-1] == 1
         and x.shape[1] <= 32
         and os.environ.get("SEMSTEREO_NO_CONV3D_DFOLD") != "1"
@@ -159,6 +176,39 @@ def _conv3d_kdsplit(x, kernel, s, pad_hw, precision):
         out = y if out is None else out + y
     oh, ow = out.shape[1:3]
     return out.reshape(b, od, oh, ow, f)
+
+
+def _conv3d_dtile(x: jax.Array, kernel: jax.Array, dt: int = 4) -> jax.Array:
+    """3x3x3 s1 p1 conv as a 2-D conv over D-tiles of ``dt`` output planes.
+
+    Generalizes _conv3d_cout1_dfold: fold tiles of dt output planes (with a
+    1-plane halo on each side) into channels — x2: [B*G, H, W, (dt+2)*C],
+    k2: [3, 3, (dt+2)*C, dt*F] block-banded (nonzero iff 0 <= dp-do < 3).
+    The dense matmul does (dt+2)/3 x the direct conv's MACs (2x at dt=4)
+    but fills all 128 lanes on both operands, where XLA's direct narrow-C
+    NDHWC conv measures 6% of MXU peak (profile, results_r4.json)."""
+    b, d, h, w, c = x.shape
+    f = kernel.shape[-1]
+    assert d % dt == 0, (d, dt)
+    g = d // dt
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    # overlapping windows of dt+2 planes -> [B, G, dt+2, H, W, C]
+    win = jnp.stack([xp[:, i * dt : i * dt + dt + 2] for i in range(g)], axis=1)
+    x2 = jnp.transpose(win, (0, 1, 3, 4, 2, 5)).reshape(
+        b * g, h, w, (dt + 2) * c
+    )
+    k2 = jnp.zeros((3, 3, dt + 2, c, dt, f), kernel.dtype)
+    for do in range(dt):
+        k2 = k2.at[:, :, do : do + 3, :, do].set(
+            kernel.transpose(1, 2, 0, 3, 4)
+        )
+    k2 = k2.reshape(3, 3, (dt + 2) * c, dt * f)
+    y = lax.conv_general_dilated(
+        x2, k2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B*G, H, W, dt*F]
+    y = y.reshape(b, g, h, w, dt, f)
+    return jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b, d, h, w, f)
 
 
 def _conv3d_cout1_dfold(x: jax.Array, kernel: jax.Array) -> jax.Array:

@@ -176,3 +176,17 @@ def test_kdsplit_matches_xla(rng, monkeypatch, stride):
     ref = _ref(x, k, stride)
     got = _conv3d_kdsplit(x, k, stride, [(1, 1), (1, 1)], None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("c,f,d", [(16, 8, 8), (8, 16, 4), (16, 16, 12)])
+def test_dtile_matches_xla(rng, c, f, d):
+    """Opt-in D-tiled dense fold (SEMSTEREO_CONV3D_DTILE=1): tiles of 4
+    output planes with halo folded into a 2-D conv must equal the direct
+    3-D conv."""
+    from semstereo_tpu.ops.convops import _conv3d_dtile
+
+    x = jnp.asarray(rng.standard_normal((2, d, 6, 10, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, c, f)) * 0.1, jnp.float32)
+    ref = _ref(x, k, 1)
+    got = _conv3d_dtile(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
