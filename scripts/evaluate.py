@@ -34,6 +34,14 @@ def main():
     p.add_argument("--testlist")
     p.add_argument("--loadckpt", required=True)
     p.add_argument("--batch-size", type=int)
+    p.add_argument(
+        "--maxdisp", type=int,
+        help="must match the checkpoint's training maxdisp",
+    )
+    p.add_argument(
+        "--eval-seg-per-batch", action="store_true",
+        help="reference-parity per-batch seg-metric averaging (PARITY.md 2.7)",
+    )
     args = p.parse_args()
 
     cfg = PRESETS[args.preset]
@@ -45,7 +53,12 @@ def main():
         ).items()
         if v is not None
     }
-    cfg = cfg.replace(data=dataclasses.replace(cfg.data, **data_kw))
+    model_kw = {k: v for k, v in dict(maxdisp=args.maxdisp).items() if v is not None}
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, **data_kw),
+        model=dataclasses.replace(cfg.model, **model_kw),
+        **({"eval_seg_per_batch": True} if args.eval_seg_per_batch else {}),
+    )
 
     trainer = Trainer(cfg)
     assert trainer.eval_loader is not None, "test list not found"

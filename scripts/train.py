@@ -75,6 +75,7 @@ def main():
     )
     p.add_argument("--maxdisp", type=int)
     p.add_argument("--seed", type=int)
+    p.add_argument("--save-freq", type=int, help="epochs between checkpoints")
     p.add_argument("--num-workers", type=int)
     p.add_argument("--data-parallel", type=int, default=-1, help="mesh data axis size")
     p.add_argument("--disp-parallel", type=int, default=1, help="mesh disp axis size")
@@ -134,7 +135,8 @@ def main():
         **{
             k: v
             for k, v in dict(
-                logdir=args.logdir, loadckpt=args.loadckpt, seed=args.seed
+                logdir=args.logdir, loadckpt=args.loadckpt, seed=args.seed,
+                save_freq=args.save_freq,
             ).items()
             if v is not None
         },
