@@ -96,15 +96,17 @@ def conv_nd(
         and groups == 1
         and all(p == (1, 1) for p in padding)
         and kernel.shape[:3] == (3, 3, 3)
-        and 1 < kernel.shape[-1] <= 64
+        and 1 < kernel.shape[-1] <= int(os.environ.get("SEMSTEREO_DTILE_MAXF", "32"))
         and x.shape[1] % 4 == 0
         and os.environ.get("SEMSTEREO_NO_CONV3D_DTILE") != "1"
     ):
-        # D-tiled dense fold of every narrow stride-1 volume conv (see
-        # _conv3d_dtile).  Default-on: +1.08 pairs/s whole-model (17.01 ->
-        # 18.09, benchmarks/results_r4.json) — 2x the MACs at full 128-lane
-        # fill beats XLA's 6%-of-peak narrow-C direct conv.  Opt-out:
-        # SEMSTEREO_NO_CONV3D_DTILE=1.
+        # D-tiled dense fold of narrow stride-1 volume convs (see
+        # _conv3d_dtile).  Default-on for F <= 32: +1.2 pairs/s whole-model
+        # (17.01 -> 18.46, benchmarks/results_r4.json) — 2x the MACs at full
+        # 128-lane fill beats XLA's 6%-of-peak narrow-C direct conv.  F=64
+        # convs (hourglass conv2, already 33% roofline direct) measured
+        # better direct (18.31 with them folded) — SEMSTEREO_DTILE_MAXF
+        # tunes the bound.  Opt-out: SEMSTEREO_NO_CONV3D_DTILE=1.
         return _conv3d_dtile(x, kernel)
     if (
         nsp == 3
