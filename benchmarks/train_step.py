@@ -31,7 +31,11 @@ def main():
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--remat", action="store_true")
+    p.add_argument(
+        "--remat", nargs="?", const="full", default=False,
+        help="bare flag = full (backbone+hourglasses); or a comma-set of "
+        "backbone,featup,hourglass,concat,spx (e.g. --remat featup)",
+    )
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     args = p.parse_args()
 
@@ -40,8 +44,9 @@ def main():
     )
     from semstereo_tpu.train import init_state, make_train_step
 
+    remat = True if args.remat == "full" else (args.remat or False)
     cfg = TrainConfig(
-        model=ModelConfig(maxdisp=64, num_classes=6, remat=args.remat),
+        model=ModelConfig(maxdisp=64, num_classes=6, remat=remat),
         data=DataConfig(batch_size=args.batch),
         optim=OptimConfig(lr=1e-3),
         loss=LossConfig(use_seg=True, use_lrsc=True),
@@ -87,8 +92,22 @@ def main():
         }
     except Exception:
         pass
+    # MFU vs the v5e bf16 MXU peak (197 TF/s, benchmarks/roofline.py:34-36):
+    # model FLOPs from the compiled executable's own cost analysis (same HLO
+    # as the timed step, so .compile() is a cache hit).
+    try:
+        ca = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peak = 197e12 if args.dtype == "bfloat16" else 98.5e12
+        mem["model_tflops_per_step"] = round(flops / 1e12, 2)
+        mem["mfu_pct"] = round(100.0 * flops / dt / peak, 1)
+    except Exception as e:
+        mem["mfu_error"] = str(e)[:120]
     print(json.dumps({
-        "metric": f"train_step_{h}x{w}_b{b}" + ("_remat" if args.remat else ""),
+        "metric": f"train_step_{h}x{w}_b{b}"
+        + (f"_remat[{args.remat}]" if args.remat else ""),
         "step_ms": round(dt * 1e3, 1),
         "pairs_per_sec": round(args.batch / dt, 3),
         "loss": round(float(scalars["loss"]), 4),

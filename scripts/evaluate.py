@@ -20,6 +20,15 @@ if os.environ.get("SEMSTEREO_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["SEMSTEREO_PLATFORM"])
 
+# Persistent jit cache, shared with scripts/train.py (keyed by backend+HLO).
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import dataclasses
 
 from semstereo_tpu.config import PRESETS
@@ -38,9 +47,17 @@ def main():
         "--maxdisp", type=int,
         help="must match the checkpoint's training maxdisp",
     )
+    p.add_argument("--topk", type=int, help="must match the training topk")
+    p.add_argument("--att-window1", help="must match training (D,H,W e.g. 1,2,2)")
+    p.add_argument("--att-window2", help="must match training (D,H,W e.g. 1,2,2)")
     p.add_argument(
         "--eval-seg-per-batch", action="store_true",
         help="reference-parity per-batch seg-metric averaging (PARITY.md 2.7)",
+    )
+    p.add_argument(
+        "--save-dir",
+        help="dump per-sample disparity (256*uint16 PNG) and label maps here; "
+        "works on ground-truth-less test lists (inference-only mode)",
     )
     args = p.parse_args()
 
@@ -53,7 +70,17 @@ def main():
         ).items()
         if v is not None
     }
-    model_kw = {k: v for k, v in dict(maxdisp=args.maxdisp).items() if v is not None}
+    def _win(s):
+        return None if s is None else tuple(int(x) for x in s.split(","))
+
+    model_kw = {
+        k: v
+        for k, v in dict(
+            maxdisp=args.maxdisp, topk=args.topk,
+            att_window1=_win(args.att_window1), att_window2=_win(args.att_window2),
+        ).items()
+        if v is not None
+    }
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, **data_kw),
         model=dataclasses.replace(cfg.model, **model_kw),
@@ -65,7 +92,7 @@ def main():
     first = next(iter(trainer.eval_loader))
     trainer.initialize(sample_shape=first["left"].shape)
     trainer.state = ckpt.restore_checkpoint(args.loadckpt, trainer.state)
-    results = trainer.evaluate()
+    results = trainer.evaluate(save_dir=args.save_dir)
     print(results)
 
 

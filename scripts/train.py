@@ -26,6 +26,17 @@ if os.environ.get("SEMSTEREO_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["SEMSTEREO_PLATFORM"])
 
+# Persistent jit cache (entries are keyed by backend+HLO, so one dir serves
+# TPU and CPU runs alike): repeat invocations skip the 20-40s (TPU) /
+# minutes (tunnel) compile.
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from semstereo_tpu.config import PRESETS
 from semstereo_tpu.train.trainer import Trainer
 from semstereo_tpu.utils import TeeLogger
@@ -74,6 +85,14 @@ def main():
         help="global-norm gradient clip (0 = off, reference parity)",
     )
     p.add_argument("--maxdisp", type=int)
+    p.add_argument("--topk", type=int, help="cost-volume top-k plane selection")
+    p.add_argument(
+        "--att-window1", help="stage-1 attention window D,H,W (e.g. 1,2,2)"
+    )
+    p.add_argument(
+        "--att-window2", help="stage-2 attention window D,H,W (e.g. 1,2,2)"
+    )
+    p.add_argument("--test-batch-size", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--save-freq", type=int, help="epochs between checkpoints")
     p.add_argument("--num-workers", type=int)
@@ -89,8 +108,10 @@ def main():
         help="model compute precision (fp32 master params either way)",
     )
     p.add_argument(
-        "--remat", action="store_true",
-        help="rematerialize backbone + 3-D hourglasses on the backward pass",
+        "--remat", nargs="?", const="full",
+        help="rematerialization policy: bare flag = 'full' (backbone + 3-D "
+        "hourglasses); or a comma-set of backbone,featup,hourglass,concat,spx "
+        "for targeted memory relief (e.g. --remat featup)",
     )
     args = p.parse_args()
 
@@ -103,6 +124,7 @@ def main():
             trainlist=args.trainlist,
             testlist=args.testlist,
             batch_size=args.batch_size,
+            test_batch_size=args.test_batch_size,
             num_workers=args.num_workers,
         ).items()
         if v is not None
@@ -115,15 +137,20 @@ def main():
         ).items()
         if v is not None
     }
+    def _win(s):
+        return None if s is None else tuple(int(x) for x in s.split(","))
+
     model_kw = {
         k: v
         for k, v in dict(
-            maxdisp=args.maxdisp, pretrained_backbone=args.pretrained_backbone
+            maxdisp=args.maxdisp, pretrained_backbone=args.pretrained_backbone,
+            topk=args.topk, att_window1=_win(args.att_window1),
+            att_window2=_win(args.att_window2),
         ).items()
         if v is not None
     }
     if args.remat:
-        model_kw["remat"] = True
+        model_kw["remat"] = True if args.remat == "full" else args.remat
     cfg = cfg.replace(
         data=dataclasses.replace(cfg.data, **data_kw),
         optim=dataclasses.replace(cfg.optim, **optim_kw),

@@ -30,7 +30,10 @@ class ModelConfig:
     att_window2: Tuple[int, int, int] = (6, 4, 4)
     shard_disp: bool = False  # shard cost-volume disparity planes over mesh 'disp'
     shard_spatial: bool = False  # shard height tiles over mesh 'space'
-    remat: bool = False  # rematerialize backbone + hourglasses on backward
+    # Remat policy: False/"none" | True/"full" (backbone+hourglasses) | a
+    # comma-set of {backbone, featup, hourglass, concat, spx} for targeted
+    # activation-memory relief (models/semstereo.py _remat_components)
+    remat: bool | str = False
     # Path to a torch mobilevitv2_100 state_dict (.pth); loaded into the
     # backbone at init with a loud leaf-complete contract (utils/timm_convert).
     # None = train the backbone from scratch (no network egress here).

@@ -270,7 +270,9 @@ class CityscapesDataset(KittiDataset):
             left, right, disparity, label = T.random_crop(
                 [left, right, disparity, label], self.crop_size, rng
             )
-            right = T.random_occlusion(right, rng)
+            # Cityscapes occludes with p=0.2, not SceneFlow's 0.5
+            # (reference cityscapes_dataset_c.py:121)
+            right = T.random_occlusion(right, rng, p=0.2)
             return {
                 "left": io.normalize_image(left),
                 "right": io.normalize_image(right),

@@ -51,10 +51,13 @@ def random_crop(arrays, size, rng: np.random.Generator):
     return [a[y : y + th, x : x + tw] for a in arrays]
 
 
-def random_occlusion(right: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Fill a random rectangle of the right image with its mean color
-    (reference sceneflow aug :91-97), probability 0.5."""
-    if rng.binomial(1, 0.5):
+def random_occlusion(
+    right: np.ndarray, rng: np.random.Generator, p: float = 0.5
+) -> np.ndarray:
+    """Fill a random rectangle of the right image with its mean color.
+    Probability ``p``: 0.5 for SceneFlow (reference sceneflow aug :91-97),
+    0.2 for Cityscapes (cityscapes_dataset_c.py:121)."""
+    if rng.binomial(1, p):
         right = right.copy()
         sx = int(rng.uniform(35, 100))
         sy = int(rng.uniform(25, 75))
@@ -64,36 +67,60 @@ def random_occlusion(right: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     return right
 
 
-def random_vdisp(right: np.ndarray, angle: float, px: float, rng: np.random.Generator) -> np.ndarray:
-    """Random small rotation + vertical shift of the right image
-    (reference RandomVdisp, flow_transforms.py:138-159)."""
+def vdisp_warp(
+    right: np.ndarray, angle_deg: float, px2: float, center_xy: tuple[float, float]
+) -> np.ndarray:
+    """Deterministic core of RandomVdisp with EXACT cv2 semantics
+    (reference flow_transforms.py:138-159): rotate by ``angle_deg`` (CCW in
+    cv2's x-right/y-down frame) about ``center_xy`` = (cx, cy), then shift
+    down by ``px2`` rows — each as one bilinear inverse-map resample with
+    constant-0 border, like the reference's two cv2.warpAffine calls.
+
+    cv2.getRotationMatrix2D gives M = [[a, b, (1-a)cx - b*cy],
+    [-b, a, b*cx + (1-a)cy]] with a=cos, b=sin; warpAffine inverts it:
+    dst(x,y) = src(M^-1 [x,y,1]).  Expressed in (row, col) coordinates for
+    ndimage.affine_transform (output[o] = input[A o + off])."""
     from scipy import ndimage
 
-    ang = rng.uniform(-angle, angle)
-    shift = rng.uniform(-px, px)
-    cy = rng.uniform(0, right.shape[0])
-    cx = rng.uniform(0, right.shape[1])
     out = right.astype(np.float32)
-    if ang != 0.0:
-        # rotate about a random center: shift center to origin, rotate, shift back
-        theta = np.deg2rad(ang)
-        cos, sin = np.cos(theta), np.sin(theta)
-        mat = np.array([[cos, -sin], [sin, cos]], np.float32)
-        offset = np.array([cy, cx]) - mat @ np.array([cy, cx])
-        planes = [
-            ndimage.affine_transform(out[..., c], mat, offset=offset, order=1, mode="constant")
+    a, b = np.cos(np.deg2rad(angle_deg)), np.sin(np.deg2rad(angle_deg))
+    cx, cy = center_xy
+    tx, ty = (1 - a) * cx - b * cy, b * cx + (1 - a) * cy
+    # inverse map in (row=y, col=x): src_y = a*y + b*x + off_y, src_x = -b*y + a*x + off_x
+    mat = np.array([[a, b], [-b, a]], np.float64)
+    off = np.array([-(a * ty + b * tx), -(a * tx - b * ty)], np.float64)
+    # mode='grid-constant': blend edge pixels with 0 like cv2's constant
+    # border (scipy's plain 'constant' snaps to cval outside [0, n-1]
+    # WITHOUT blending — a 7.5%-of-pixels border mismatch, measured).
+    out = np.stack(
+        [
+            ndimage.affine_transform(
+                out[..., c], mat, offset=off, order=1, mode="grid-constant"
+            )
             for c in range(out.shape[-1])
-        ]
-        out = np.stack(planes, axis=-1)
-    if shift != 0.0:
-        out = np.stack(
-            [
-                ndimage.shift(out[..., c], (shift, 0.0), order=1, mode="constant")
-                for c in range(out.shape[-1])
-            ],
-            axis=-1,
-        )
+        ],
+        axis=-1,
+    )
+    out = np.stack(
+        [
+            ndimage.shift(out[..., c], (px2, 0.0), order=1, mode="grid-constant")
+            for c in range(out.shape[-1])
+        ],
+        axis=-1,
+    )
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def random_vdisp(right: np.ndarray, angle: float, px: float, rng: np.random.Generator) -> np.ndarray:
+    """Random small rotation + vertical shift of the right image
+    (reference RandomVdisp, flow_transforms.py:138-159).  The rotation
+    center is drawn as (uniform(0, H), uniform(0, W)) and handed to the
+    rotation as its (cx, cy) — reproducing the reference quirk of feeding a
+    (rows, cols)-range draw into cv2's (x, y) center argument."""
+    px2 = rng.uniform(-px, px)
+    ang = rng.uniform(-angle, angle)
+    center = (rng.uniform(0, right.shape[0]), rng.uniform(0, right.shape[1]))
+    return vdisp_warp(right, ang, px2, center)
 
 
 def gt_pyramid(arr: np.ndarray, factors=(4, 8, 16)) -> dict[int, np.ndarray]:

@@ -74,6 +74,18 @@ class FeatUp(nn.Module):
         return [x2, x4, x8, x16, x32]
 
 
+def _remat_components(spec) -> frozenset:
+    """Parse the remat policy (see SemStereo.remat docstring)."""
+    if spec in (False, None, "", "none"):
+        return frozenset()
+    if spec is True or spec == "full":
+        return frozenset({"backbone", "hourglass"})
+    comps = frozenset(s.strip() for s in str(spec).split(",") if s.strip())
+    unknown = comps - {"backbone", "featup", "hourglass", "concat", "spx"}
+    assert not unknown, f"unknown remat components: {sorted(unknown)}"
+    return comps
+
+
 class SemStereo(nn.Module):
     maxdisp: int = 64
     num_classes: int = 6
@@ -108,10 +120,17 @@ class SemStereo(nn.Module):
     # (benchmarks/results_r4.json).  True forces fusing (it is numerically
     # identical: eval BN uses running stats).
     fuse_views: bool | None = None
-    # Rematerialize the backbone and 3-D hourglasses on the backward pass —
-    # trades ~1/3 extra FLOPs for the activation memory of the stage-2
-    # [B, 24, H/4, W/4, 64] volume pipeline (SURVEY.md section 7 'Memory').
-    remat: bool = False
+    # Rematerialization policy for the backward pass (SURVEY.md section 7
+    # 'Memory').  Accepts:
+    #   False/"none"      — store everything
+    #   True/"full"       — remat backbone + both 3-D hourglasses (the r4
+    #                       all-or-nothing lever: ~1/3 extra FLOPs)
+    #   comma-set string  — any of {backbone, featup, hourglass, concat,
+    #                       spx}, e.g. "featup" remats ONLY the FPN whose
+    #                       half-res activations (260 MB x4 copies at b2,
+    #                       results_r4.json:train_step_b4) OOM'd batch 2 —
+    #                       cheap FLOPs, big memory (VERDICT r4 next #3).
+    remat: bool | str = False
 
     def _constrain_disp(self, vol):
         """Sharding constraint on a [B, D, H, W, ...] cost volume: disparity
@@ -136,16 +155,22 @@ class SemStereo(nn.Module):
             "stereo_if requires seg_if: SSR upsampling consumes pred_label "
             "(reference SemStereo.py:311)"
         )
+        comps = _remat_components(self.remat)
         backbone_cls = (
             nn.remat(MobileViTv2Backbone, static_argnums=(2,))
-            if self.remat
+            if "backbone" in comps
             else MobileViTv2Backbone
         )
         hourglass_cls = (
-            nn.remat(Hourglass3D, static_argnums=(2,)) if self.remat else Hourglass3D
+            nn.remat(Hourglass3D, static_argnums=(2,))
+            if "hourglass" in comps
+            else Hourglass3D
+        )
+        featup_cls = (
+            nn.remat(FeatUp, static_argnums=(2,)) if "featup" in comps else FeatUp
         )
         backbone = backbone_cls(name="feature")
-        featup = FeatUp(name="feature_up")
+        featup = featup_cls(name="feature_up")
         b = left.shape[0]
         # Eval: batch both views through the shared front end — BN uses
         # running stats so results are identical to two passes, but kernel
@@ -193,10 +218,13 @@ class SemStereo(nn.Module):
             fr2 = chal[2](feat_r[2], train)
 
         # --- superpixel weight chain -> full-res spx weights ---
-        xspx = Conv2x(CHANS2[3], deconv=True, name="spx32_16")(fl[4], fl[3], train)
-        xspx = Conv2x(CHANS2[2], deconv=True, name="spx16_8")(xspx, fl[2], train)
-        xspx = Conv2x(CHANS2[1], deconv=True, name="spx8_4")(xspx, fl[1], train)
-        xspx = Conv2x(CHANS2[0], deconv=True, name="spx4_2")(xspx, fl[0], train)
+        spx_cls = (
+            nn.remat(Conv2x, static_argnums=(3,)) if "spx" in comps else Conv2x
+        )
+        xspx = spx_cls(CHANS2[3], deconv=True, name="spx32_16")(fl[4], fl[3], train)
+        xspx = spx_cls(CHANS2[2], deconv=True, name="spx16_8")(xspx, fl[2], train)
+        xspx = spx_cls(CHANS2[1], deconv=True, name="spx8_4")(xspx, fl[1], train)
+        xspx = spx_cls(CHANS2[0], deconv=True, name="spx4_2")(xspx, fl[0], train)
         spx_pred = TorchConvTranspose(
             self.num_classes, 4, 2, 1, use_bias=True, name="spx2"
         )(xspx)
@@ -261,7 +289,12 @@ class SemStereo(nn.Module):
 
         if not self.att_weights_only:
             # --- stage 2: top-k-sampled concat volume refinement at /4 ---
-            concat_feature = _ConcatFeature(name="concat_feature")
+            concat_cls = (
+                nn.remat(_ConcatFeature, static_argnums=(2,))
+                if "concat" in comps
+                else _ConcatFeature
+            )
+            concat_feature = concat_cls(name="concat_feature")
             if fuse_views:
                 cc = concat_feature(jnp.concatenate([fl[1], fr1], axis=0), train)
                 lc, rc = cc[:b], cc[b:]

@@ -107,7 +107,11 @@ def conv_nd(
         # convs (hourglass conv2, already 33% roofline direct) measured
         # better direct (18.31 with them folded) — SEMSTEREO_DTILE_MAXF
         # tunes the bound.  Opt-out: SEMSTEREO_NO_CONV3D_DTILE=1.
-        return _conv3d_dtile(x, kernel)
+        # Deliberately NOT backend-gated: the CPU test suite must exercise
+        # the exact dispatch the TPU runs (r4 lesson — TPU-gated kernels
+        # shipped untested), and the fold is numerically equivalent on every
+        # backend (fp-reassociation-level differences only).
+        return _conv3d_dtile(x, kernel, precision=precision)
     if (
         nsp == 3
         and stride == (1, 1, 1)
@@ -127,7 +131,8 @@ def conv_nd(
         # results_r4.json).  It had lost 0.1 in the earlier fused-views
         # graph — dispatch decisions are graph-global, re-A/B after
         # structural changes.  Opt-out: SEMSTEREO_NO_CONV3D_DFOLD=1.
-        return _conv3d_cout1_dfold(x, kernel)
+        # Not backend-gated, same rationale as the dtile branch above.
+        return _conv3d_cout1_dfold(x, kernel, precision=precision)
     if (
         nsp == 3
         and kernel.shape[0] == 3
@@ -180,7 +185,7 @@ def _conv3d_kdsplit(x, kernel, s, pad_hw, precision):
     return out.reshape(b, od, oh, ow, f)
 
 
-def _conv3d_dtile(x: jax.Array, kernel: jax.Array, dt: int = 4) -> jax.Array:
+def _conv3d_dtile(x: jax.Array, kernel: jax.Array, dt: int = 4, precision=None) -> jax.Array:
     """3x3x3 s1 p1 conv as a 2-D conv over D-tiles of ``dt`` output planes.
 
     Generalizes _conv3d_cout1_dfold: fold tiles of dt output planes (with a
@@ -207,13 +212,13 @@ def _conv3d_dtile(x: jax.Array, kernel: jax.Array, dt: int = 4) -> jax.Array:
     k2 = k2.reshape(3, 3, (dt + 2) * c, dt * f)
     y = lax.conv_general_dilated(
         x2, k2, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
     )  # [B*G, H, W, dt*F]
     y = y.reshape(b, g, h, w, dt, f)
     return jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b, d, h, w, f)
 
 
-def _conv3d_cout1_dfold(x: jax.Array, kernel: jax.Array) -> jax.Array:
+def _conv3d_cout1_dfold(x: jax.Array, kernel: jax.Array, precision=None) -> jax.Array:
     """3x3x3 s1 p1 conv with Cout=1 as a 2-D conv over a D-folded layout.
 
     out[b,do,h,w] = sum_{kd,kh,kw,c} K[kd,kh,kw,c,0] x_pad[b,do+kd,h+kh,w+kw,c]
@@ -228,7 +233,7 @@ def _conv3d_cout1_dfold(x: jax.Array, kernel: jax.Array) -> jax.Array:
     k2 = k2.reshape(3, 3, (d + 2) * c, d)
     y = lax.conv_general_dilated(
         x2, k2, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
     )  # [B, H, W, D]
     return jnp.transpose(y, (0, 3, 1, 2))[..., None]
 

@@ -215,23 +215,27 @@ def make_eval_step(cfg: TrainConfig):
             train=False,
         )
         out = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), out)
-        gt = batch["disparity"]
-        mask = valid_mask(gt, model_cfg.maxdisp, policy)
+        has_gt = "disparity" in batch  # static per trace: batches without
+        # ground truth (KITTI/Cityscapes test rows, kitti_dataset_15.py:
+        # 123-150) run inference-only — estimates out, no metrics.
         scalars: dict[str, Any] = {}
         if "disp" in out:
             est = out["disp"][0]
-            scalars["disp_loss"] = losses.disp_loss_eval(
-                est, gt, mask.astype(jnp.float32)
-            )
-            gtd = _display_gt(gt)
-            scalars.update(
-                EPE=metrics.epe_metric(est, gtd, mask),
-                D1=metrics.d1_metric(est, gtd, mask),
-                Thres1=metrics.thres_metric(est, gtd, mask, 1.0),
-                Thres2=metrics.thres_metric(est, gtd, mask, 2.0),
-                Thres3=metrics.thres_metric(est, gtd, mask, 3.0),
-            )
             scalars["disp_est"] = est
+            if has_gt:
+                gt = batch["disparity"]
+                mask = valid_mask(gt, model_cfg.maxdisp, policy)
+                scalars["disp_loss"] = losses.disp_loss_eval(
+                    est, gt, mask.astype(jnp.float32)
+                )
+                gtd = _display_gt(gt)
+                scalars.update(
+                    EPE=metrics.epe_metric(est, gtd, mask),
+                    D1=metrics.d1_metric(est, gtd, mask),
+                    Thres1=metrics.thres_metric(est, gtd, mask, 1.0),
+                    Thres2=metrics.thres_metric(est, gtd, mask, 2.0),
+                    Thres3=metrics.thres_metric(est, gtd, mask, 3.0),
+                )
         if seg_on and "label" in batch:
             scalars["label_loss"] = losses.label_loss(
                 out["label_l"], batch["label"], model_cfg.num_classes,
@@ -240,7 +244,9 @@ def make_eval_step(cfg: TrainConfig):
             scalars["confusion"] = metrics.confusion_matrix(
                 out["label_l"], batch["label"], model_cfg.num_classes - 1
             )
-        if "disp" in out:
+        elif seg_on:
+            scalars["label_est"] = jnp.argmax(out["label_l"], axis=-1)
+        if "disp" in out and has_gt:
             scalars["loss"] = scalars["disp_loss"] + scalars.get("label_loss", 0.0)
         return scalars
 

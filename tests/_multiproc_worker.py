@@ -81,6 +81,35 @@ def main():
     np.testing.assert_allclose(out["confusion"], np.full((3, 3), 3.0))
     assert float(out["count"]) == 3.0
 
+    # reduce_eval_meters with DIVERGENT per-host meter keys — the advisor-r4
+    # hang case: sparse NaN-skipping dicts whose key sets differ across hosts
+    # (a seg class absent from one host's whole shard, different batch
+    # counts).  The dense fixed-order reduce must neither hang nor mis-pair.
+    from semstereo_tpu.metrics import SegmentationMeter
+    from semstereo_tpu.train.trainer import reduce_eval_meters
+    from semstereo_tpu.utils import AverageMeterDict, AverageMeterDictPerKey
+
+    meters = AverageMeterDict()
+    seg_meter = SegmentationMeter(2)
+    seg_batch = AverageMeterDictPerKey()
+    if pid == 0:
+        meters.update({"EPE": 1.0, "D1": 0.5})
+        meters.update({"EPE": 2.0, "D1": 0.7})
+        seg_batch.update({"PA": 0.5, "IoU0": 0.25, "IoU1": float("nan")})
+        seg_meter.add_confusion(np.eye(2))
+    else:  # fewer batches AND a key (IoU1) host 0 never produced finite
+        meters.update({"EPE": 3.0, "D1": 0.9})
+        seg_batch.update({"PA": 0.7, "IoU1": 0.5})
+    reduce_eval_meters(meters, seg_meter, seg_batch, 2)
+    assert meters.count == 3, meters.count
+    np.testing.assert_allclose(meters.mean()["EPE"], 2.0)
+    np.testing.assert_allclose(meters.mean()["D1"], 0.7)
+    assert "label_loss" not in meters.mean()  # no host produced it
+    np.testing.assert_allclose(seg_batch.mean()["PA"], 0.6)
+    np.testing.assert_allclose(seg_batch.mean()["IoU0"], 0.25)
+    np.testing.assert_allclose(seg_batch.mean()["IoU1"], 0.5)
+    np.testing.assert_allclose(seg_meter.cm, np.eye(2))
+
     print(f"WORKER{pid} OK", flush=True)
 
 

@@ -1,6 +1,7 @@
 """End-to-end Trainer loop on synthetic data: one epoch of training + eval
 completes, checkpoints land in logdir, meters aggregate metrics."""
 
+import glob
 import os
 
 import numpy as np
@@ -10,6 +11,7 @@ from semstereo_tpu.config import (
     LossConfig,
     ModelConfig,
     OptimConfig,
+    ParallelConfig,
     TrainConfig,
 )
 from semstereo_tpu.data import SyntheticStereoDataset
@@ -40,3 +42,76 @@ def test_trainer_one_epoch(tmp_path):
     for key in ("EPE", "D1", "loss", "PA", "mIoU"):
         assert key in results, (key, results.keys())
     assert np.isfinite(results["EPE"])
+
+
+def _tiny_cfg(tmp_path, **kw):
+    base = dict(
+        model=ModelConfig(
+            maxdisp=16, topk=4, att_window1=(1, 2, 2), att_window2=(1, 2, 2)
+        ),
+        data=DataConfig(batch_size=2, test_batch_size=2, num_workers=1),
+        optim=OptimConfig(epochs=1, lrepochs="12:2"),
+        loss=LossConfig(use_seg=True, use_lrsc=True),
+        logdir=str(tmp_path / "run"),
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_eval_ragged_final_batch(tmp_path):
+    """A test list NOT divisible by test_batch_size x data-axis must evaluate
+    correctly: the final B=1 batch is padded to B=2 with all-invalid rows so
+    the 2-device data sharding can place it, and the padded rows contribute
+    nothing — metrics equal the same 3 samples evaluated unpadded on a
+    1-device mesh (VERDICT r4 missing #3)."""
+    ds = SyntheticStereoDataset(3, 32, 32, maxdisp=16, training=False)
+
+    cfg2 = _tiny_cfg(tmp_path, parallel=ParallelConfig(data=2))
+    t2 = Trainer(cfg2, eval_dataset=ds)
+    t2.initialize(sample_shape=(2, 32, 32, 3))
+    r2 = t2.evaluate(0)
+
+    cfg1 = _tiny_cfg(tmp_path, parallel=ParallelConfig(data=1))
+    t1 = Trainer(cfg1, eval_dataset=ds)
+    t1.initialize(sample_shape=(2, 32, 32, 3))
+    r1 = t1.evaluate(0)
+
+    assert np.isfinite(r2["EPE"])
+    for k in ("EPE", "D1", "disp_loss", "PA", "mIoU"):
+        np.testing.assert_allclose(r2[k], r1[k], rtol=2e-4, err_msg=k)
+
+
+class _NoGtDataset(SyntheticStereoDataset):
+    """Eval rows without ground truth (the KITTI/Cityscapes test-split case,
+    reference kitti_dataset_15.py:123-150)."""
+
+    def get(self, index, rng):
+        s = super().get(index, rng)
+        return {
+            "left": s["left"],
+            "right": s["right"],
+            "left_filename": f"pair_{index:03d}.png",
+        }
+
+
+def test_eval_inference_only_dumps(tmp_path):
+    """Evaluating a GT-less test list runs inference-only and dumps
+    256*uint16 disparity PNGs + uint8 label maps named by left_filename
+    (VERDICT r4 missing #4)."""
+    ds = _NoGtDataset(3, 32, 32, maxdisp=16, training=False)
+    cfg = _tiny_cfg(tmp_path, parallel=ParallelConfig(data=2))
+    t = Trainer(cfg, eval_dataset=ds)
+    t.initialize(sample_shape=(2, 32, 32, 3))
+    out_dir = str(tmp_path / "dump")
+    results = t.evaluate(0, save_dir=out_dir)
+    assert "EPE" not in results
+    disp_pngs = sorted(glob.glob(os.path.join(out_dir, "*_disp.png")))
+    label_pngs = sorted(glob.glob(os.path.join(out_dir, "*_label.png")))
+    assert [os.path.basename(p) for p in disp_pngs] == [
+        f"pair_{i:03d}_disp.png" for i in range(3)
+    ]
+    assert len(label_pngs) == 3
+    from PIL import Image
+
+    arr = np.asarray(Image.open(disp_pngs[0]))
+    assert arr.dtype == np.uint16 and arr.shape == (32, 32)
