@@ -9,11 +9,14 @@ XLA lowers to MXU-tiled implicit GEMMs; transposed convs use torch geometry
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 from semstereo_tpu.nn.attention import WindowedAttention3D
 from semstereo_tpu.nn.layers import BasicConv, ConvBn, TorchConv
+from semstereo_tpu.ops.convops import classifier_head_fused
 
 
 class Hourglass3D(nn.Module):
@@ -46,11 +49,37 @@ class Hourglass3D(nn.Module):
 
 
 class Classifier3D(nn.Module):
-    """convbn_3d + ReLU + 1-channel 3x3x3 conv (reference classif/classif_att_)."""
+    """convbn_3d + ReLU + 1-channel 3x3x3 conv (reference classif/classif_att_).
+
+    Eval mode runs the FUSED folded-domain chain by default (conv0 + BN
+    affine + ReLU + conv1 in one D-tiled layout, ops/convops.py
+    classifier_head_fused) — same params, same tree, bit-equivalent math up
+    to fp reassociation; opt out with SEMSTEREO_NO_FUSED_CLASSIFIER=1."""
 
     channels: int = 32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BasicConv(self.channels, 3, stride=1, padding=1, dims=3, name="conv0")(x, train)
-        return TorchConv(1, 3, stride=1, padding=1, dims=3, use_bias=False, name="conv1")(x)
+        conv0 = BasicConv(self.channels, 3, stride=1, padding=1, dims=3, name="conv0")
+        conv1 = TorchConv(1, 3, stride=1, padding=1, dims=3, use_bias=False, name="conv1")
+        fused = (
+            not train
+            and x.shape[1] % 4 == 0
+            and os.environ.get("SEMSTEREO_NO_FUSED_CLASSIFIER") != "1"
+        )
+        if not fused:
+            return conv1(conv0(x, train))
+        # Materialize the identical param tree without running the modular
+        # path: eval-mode calls on a dummy mutate nothing and the dead conv
+        # is DCE'd by XLA.
+        dummy = jnp.zeros((1, 4, 4, 4, x.shape[-1]), x.dtype)
+        conv1(conv0(dummy, False))
+        p0 = self.get_variable("params", "conv0")
+        bs0 = self.get_variable("batch_stats", "conv0")
+        k1 = self.get_variable("params", "conv1")["kernel"]
+        # BN affine fold (eval running stats; flax BatchNorm eps 1e-5)
+        var = bs0["bn"]["var"].astype(jnp.float32)
+        mean = bs0["bn"]["mean"].astype(jnp.float32)
+        s = p0["bn"]["scale"].astype(jnp.float32) / jnp.sqrt(var + 1e-5)
+        b = p0["bn"]["bias"].astype(jnp.float32) - mean * s
+        return classifier_head_fused(x, p0["conv"]["kernel"], s, b, k1)

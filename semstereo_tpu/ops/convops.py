@@ -135,6 +135,25 @@ def conv_nd(
         return _conv3d_cout1_dfold(x, kernel, precision=precision)
     if (
         nsp == 3
+        and stride == (2, 2, 2)
+        and dilation == (1, 1, 1)
+        and groups == 1
+        and all(p == (1, 1) for p in padding)
+        and kernel.shape[:3] == (3, 3, 3)
+        and x.shape[1] % 4 == 0
+        and os.environ.get("SEMSTEREO_CONV3D_S2FOLD", "0") != "0"
+    ):
+        # OPT-IN (SEMSTEREO_CONV3D_S2FOLD=<dt>|1): D-tiled dense fold of the
+        # stride-2 hourglass entry convs (5.6% roofline direct,
+        # results_r4.json) — same lane-fill trade as _conv3d_dtile but the
+        # stride-2 window needs 2*dt+1 input planes per dt output planes
+        # (~(2dt+1)/3 x MACs; dt=2 => 1.67x).
+        env = os.environ["SEMSTEREO_CONV3D_S2FOLD"]
+        dt = 2 if env == "1" else int(env)
+        if (x.shape[1] // 2) % dt == 0:
+            return _conv3d_dtile_s2(x, kernel, dt, precision=precision)
+    if (
+        nsp == 3
         and kernel.shape[0] == 3
         and stride[0] in (1, 2)
         and stride[1:] == stride[:1] * 2
@@ -218,6 +237,43 @@ def _conv3d_dtile(x: jax.Array, kernel: jax.Array, dt: int = 4, precision=None) 
     return jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b, d, h, w, f)
 
 
+def _conv3d_dtile_s2(
+    x: jax.Array, kernel: jax.Array, dt: int = 2, precision=None
+) -> jax.Array:
+    """3x3x3 stride-2 pad-1 conv as a stride-2 2-D conv over D-tiles.
+
+    Output plane do reads input planes 2*do-1..2*do+1; a tile of dt output
+    planes therefore reads a window of 2*dt+1 input planes.  Fold windows
+    into channels — x2: [B*G, H, W, (2dt+1)*C], k2 banded with
+    k2[kh, kw, 2*do+kd, c, do, f] = K[kd, kh, kw, c, f] — and run ONE dense
+    stride-2 2-D conv.  (2dt+1)/3 x the direct conv's MACs at full lane
+    fill vs the 5.6%-of-roofline direct NDHWC s2 conv."""
+    b, d, h, w, c = x.shape
+    f = kernel.shape[-1]
+    od = d // 2
+    assert od % dt == 0, (d, dt)
+    g = od // dt
+    win = 2 * dt + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    stack = jnp.stack(
+        [xp[:, 2 * i * dt : 2 * i * dt + win] for i in range(g)], axis=1
+    )  # [B, G, win, H, W, C]
+    x2 = jnp.transpose(stack, (0, 1, 3, 4, 2, 5)).reshape(b * g, h, w, win * c)
+    k2 = jnp.zeros((3, 3, win, c, dt, f), kernel.dtype)
+    for do in range(dt):
+        k2 = k2.at[:, :, 2 * do : 2 * do + 3, :, do].set(
+            kernel.transpose(1, 2, 0, 3, 4)
+        )
+    k2 = k2.reshape(3, 3, win * c, dt * f)
+    y = lax.conv_general_dilated(
+        x2, k2, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )  # [B*G, H/2, W/2, dt*F]
+    oh, ow = y.shape[1:3]
+    y = y.reshape(b, g, oh, ow, dt, f)
+    return jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b, od, oh, ow, f)
+
+
 def _conv3d_cout1_dfold(x: jax.Array, kernel: jax.Array, precision=None) -> jax.Array:
     """3x3x3 s1 p1 conv with Cout=1 as a 2-D conv over a D-folded layout.
 
@@ -236,6 +292,74 @@ def _conv3d_cout1_dfold(x: jax.Array, kernel: jax.Array, precision=None) -> jax.
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
     )  # [B, H, W, D]
     return jnp.transpose(y, (0, 3, 1, 2))[..., None]
+
+
+def classifier_head_fused(
+    x: jax.Array,
+    k0: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    k1: jax.Array,
+    dt: int = 4,
+    precision=None,
+) -> jax.Array:
+    """Classifier3D chain (BasicConv 3^3 s1 + BN + ReLU, then Cout=1 3^3
+    conv — reference classif/classif_att_, SemStereo.py:171-177) executed
+    END-TO-END in the D-tiled folded layout.
+
+    The r4 default dispatch folds each conv separately (_conv3d_dtile then
+    _conv3d_cout1_dfold), paying an unfold transpose + a refold transpose of
+    the whole [B, D, H, W, F] volume between them — part of the 18.9 ms/iter
+    of relayout copies the r4 profile names as the frontier.  Here the
+    volume is folded ONCE; the BN affine (scale/bias, folded from eval
+    running stats) and ReLU apply in the folded layout; conv1's halo planes
+    come from cheap channel slices of adjacent groups; and only the final
+    [B, D, H, W, 1] output (C=1: 1/F the bytes) leaves the folded domain.
+
+    x: [B, D, H, W, C]; k0: [3,3,3,C,F]; scale/bias: [F]; k1: [3,3,3,F,1].
+    """
+    b, d, h, w, c = x.shape
+    f = k0.shape[-1]
+    assert d % dt == 0, (d, dt)
+    g = d // dt
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    win = jnp.stack([xp[:, i * dt : i * dt + dt + 2] for i in range(g)], axis=1)
+    x2 = jnp.transpose(win, (0, 1, 3, 4, 2, 5)).reshape(b * g, h, w, (dt + 2) * c)
+    k0f = jnp.zeros((3, 3, dt + 2, c, dt, f), k0.dtype)
+    for do in range(dt):
+        k0f = k0f.at[:, :, do : do + 3, :, do].set(k0.transpose(1, 2, 0, 3, 4))
+    k0f = k0f.reshape(3, 3, (dt + 2) * c, dt * f)
+    y = lax.conv_general_dilated(
+        x2, k0f, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )  # [B*G, H, W, dt*F]
+    st = jnp.tile(scale.astype(y.dtype), dt)
+    bt = jnp.tile(bias.astype(y.dtype), dt)
+    y = jax.nn.relu(y * st + bt)
+
+    # conv1 halo: group i additionally needs plane i*dt-1 (= last plane of
+    # group i-1) and plane (i+1)*dt (= first plane of group i+1) — channel
+    # slices of the neighbouring group rows, zero at the volume boundary
+    # (conv pad).
+    y5 = y.reshape(b, g, h, w, dt * f)
+    zeros = jnp.zeros((b, 1, h, w, f), y.dtype)
+    prev_last = jnp.concatenate(
+        [zeros, y5[:, : g - 1, ..., (dt - 1) * f :]], axis=1
+    )
+    next_first = jnp.concatenate([y5[:, 1:, ..., :f], zeros], axis=1)
+    y_ext = jnp.concatenate([prev_last, y5, next_first], axis=-1).reshape(
+        b * g, h, w, (dt + 2) * f
+    )
+    k1f = jnp.zeros((3, 3, dt + 2, f, dt), k1.dtype)
+    for do in range(dt):
+        k1f = k1f.at[:, :, do : do + 3, :, do].set(k1[..., 0].transpose(1, 2, 0, 3))
+    k1f = k1f.reshape(3, 3, (dt + 2) * f, dt)
+    out = lax.conv_general_dilated(
+        y_ext, k1f, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )  # [B*G, H, W, dt]
+    out = out.reshape(b, g, h, w, dt)
+    return jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(b, d, h, w)[..., None]
 
 
 def conv_transpose_nd(

@@ -190,3 +190,56 @@ def test_dtile_matches_xla(rng, c, f, d):
     ref = _ref(x, k, 1)
     got = _conv3d_dtile(x, k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dt,shape", [(2, (2, 8, 8, 10, 16)), (4, (1, 16, 6, 8, 8))])
+def test_dtile_s2_matches_xla(rng, dt, shape):
+    """Opt-in stride-2 D-tiled dense fold (SEMSTEREO_CONV3D_S2FOLD=<dt>):
+    windows of 2dt+1 input planes folded into a stride-2 2-D conv must equal
+    the direct stride-2 3-D conv."""
+    from semstereo_tpu.ops.convops import _conv3d_dtile_s2
+
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, c, 12)) * 0.1, jnp.float32)
+    ref = _ref(x, k, 2)
+    got = _conv3d_dtile_s2(x, k, dt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_dtile_s2_gradients(rng):
+    """s2fold is plain XLA, so autodiff through it must match the direct conv."""
+    from semstereo_tpu.ops.convops import _conv3d_dtile_s2
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 6, 6, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 4)) * 0.1, jnp.float32)
+
+    def loss_fold(x, k):
+        return jnp.sum(_conv3d_dtile_s2(x, k, 2) ** 2)
+
+    def loss_ref(x, k):
+        return jnp.sum(_ref(x, k, 2) ** 2)
+
+    gx1, gk1 = jax.grad(loss_fold, argnums=(0, 1))(x, k)
+    gx2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("d,c,f", [(8, 16, 8), (4, 8, 8), (24, 8, 4)])
+def test_classifier_head_fused_matches_modular(rng, d, c, f):
+    """Fused folded-domain classifier chain == conv0 + affine + ReLU + conv1
+    run as plain 3-D convs (the Classifier3D eval path)."""
+    from semstereo_tpu.ops.convops import classifier_head_fused
+
+    x = jnp.asarray(rng.standard_normal((2, d, 6, 10, c)), jnp.float32)
+    k0 = jnp.asarray(rng.standard_normal((3, 3, 3, c, f)) * 0.1, jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 3, f, 1)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (f,)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+
+    y = _ref(x, k0, 1)
+    y = jax.nn.relu(y * s + b)
+    want = _ref(y, k1, 1)
+    got = classifier_head_fused(x, k0, s, b, k1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

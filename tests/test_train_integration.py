@@ -146,16 +146,21 @@ def test_bf16_remat_train_step(tiny_state):
 
 @pytest.mark.skipif(
     os.environ.get("SEMSTEREO_SLOW_TESTS") != "1",
-    reason="50-step loss-curve A/B is minutes on the 2-vCPU host; "
-    "set SEMSTEREO_SLOW_TESTS=1 (the TPU record lives in "
+    reason="200-step loss-curve A/B is tens of minutes on the 2-vCPU host; "
+    "set SEMSTEREO_SLOW_TESTS=1 (the committed TPU record lives in "
     "benchmarks/results_r5.json:convergence.bf16_vs_fp32)",
 )
-def test_bf16_fp32_loss_curve_50steps():
+def test_bf16_fp32_loss_curve_200steps():
     """bf16 (the flagship compute dtype) must TRAIN like fp32, not just match
-    one step loosely: same seeded fp32 master init, same batches, 50 steps —
+    one step loosely: same seeded fp32 master init, same batches, 200 steps —
     the final-10-step mean losses must agree within 10% and both curves must
-    have decreased >30% (VERDICT r4 weak #7; the reference trains fp32,
-    main_us3d.py:98-102, so bf16 carries the burden of proof)."""
+    have decreased >5x (VERDICT r4 weak #7; the reference trains fp32,
+    main_us3d.py:98-102, so bf16 carries the burden of proof).
+
+    200 steps, not 50: the committed TPU record shows bf16 lags early
+    (ratio 1.42 at step 50 — cost-volume cosine eps noise amplifies bf16
+    rounding at random init) and fully converges to fp32 by step 200
+    (ratio 0.95, results_r5.json)."""
     from semstereo_tpu.data import DataLoader
 
     ds = SyntheticStereoDataset(8, H, W, maxdisp=16, training=True)
@@ -168,7 +173,7 @@ def test_bf16_fp32_loss_curve_50steps():
         state = init_state(cfg, (2, H, W, 3))
         step = make_train_step(cfg)
         curve = []
-        for i in range(50):
+        for i in range(200):
             state, scalars = step(state, batches[i % len(batches)])
             curve.append(float(scalars["loss"]))
         assert np.isfinite(curve).all(), dt
@@ -176,7 +181,7 @@ def test_bf16_fp32_loss_curve_50steps():
         first[dt] = curve[0]
     assert abs(tails["bfloat16"] / tails["float32"] - 1.0) < 0.10, tails
     for dt in tails:
-        assert tails[dt] < 0.7 * first[dt], (dt, first[dt], tails[dt])
+        assert tails[dt] < 0.2 * first[dt], (dt, first[dt], tails[dt])
 
 
 def test_grad_accum_matches_single_step(tiny_state):
