@@ -51,6 +51,7 @@ def aggregate_trace(logdir: str, iters: int, top: int) -> dict:
     # device pids except obvious non-op lanes.
     by_op: dict[str, float] = defaultdict(float)
     by_stem: dict[str, float] = defaultdict(float)
+    by_src: dict[str, float] = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
@@ -62,7 +63,15 @@ def aggregate_trace(logdir: str, iters: int, top: int) -> dict:
             continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
         by_op[name] += dur
-        by_stem[re.sub(r"[.\d]+$", "", name)] += dur
+        kind = re.sub(r"[.\d]+$", "", name)
+        by_stem[kind] += dur
+        # source attribution: XLA op events carry the python op path in args
+        # (long_name / tf_op); bucket copies & fusions by it so the
+        # ms-per-model-layer is readable without HLO-id cross-matching
+        a = e.get("args", {}) or {}
+        src = a.get("long_name") or a.get("tf_op") or a.get("name") or ""
+        src = re.sub(r"[\d.]+", "", src)[:120] if src else f"<{kind}>"
+        by_src[f"{kind} @ {src}"] += dur
         total += dur
     rank = lambda d, n: sorted(d.items(), key=lambda kv: -kv[1])[:n]
     fmt = lambda kv: [kv[0], round(kv[1] / iters, 3), round(100 * kv[1] / total, 1)]
@@ -70,6 +79,7 @@ def aggregate_trace(logdir: str, iters: int, top: int) -> dict:
         "total_device_ms_per_iter": round(total / iters, 3),
         "top_ops": [fmt(kv) for kv in rank(by_op, top)],
         "by_kind": [fmt(kv) for kv in rank(by_stem, 15)],
+        "by_source": [fmt(kv) for kv in rank(by_src, top)],
     }
 
 

@@ -51,10 +51,13 @@ class Hourglass3D(nn.Module):
 class Classifier3D(nn.Module):
     """convbn_3d + ReLU + 1-channel 3x3x3 conv (reference classif/classif_att_).
 
-    Eval mode runs the FUSED folded-domain chain by default (conv0 + BN
-    affine + ReLU + conv1 in one D-tiled layout, ops/convops.py
-    classifier_head_fused) — same params, same tree, bit-equivalent math up
-    to fp reassociation; opt out with SEMSTEREO_NO_FUSED_CLASSIFIER=1."""
+    OPT-IN (SEMSTEREO_FUSED_CLASSIFIER=1) eval path: the FUSED folded-domain
+    chain (conv0 + BN affine + ReLU + conv1 in one D-tiled layout,
+    ops/convops.py classifier_head_fused).  Measured whole-model A/B at the
+    flagship shape (r5): 18.33 pairs/s fused vs 18.85 with the r4 default
+    per-conv dtile+dfold dispatch, reproduced twice interleaved — the halo
+    channel-concat (y_ext, (dt+2)F wide) costs more than the unfold+refold
+    transposes it removes, so the default stays per-conv."""
 
     channels: int = 32
 
@@ -65,7 +68,7 @@ class Classifier3D(nn.Module):
         fused = (
             not train
             and x.shape[1] % 4 == 0
-            and os.environ.get("SEMSTEREO_NO_FUSED_CLASSIFIER") != "1"
+            and os.environ.get("SEMSTEREO_FUSED_CLASSIFIER") == "1"
         )
         if not fused:
             return conv1(conv0(x, train))

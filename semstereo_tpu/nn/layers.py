@@ -9,6 +9,7 @@ convs reproduce torch geometry via ops.convops.conv_transpose_nd.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -113,8 +114,56 @@ class BasicConv(nn.Module):
     relu: bool = True
     groups: int = 1
 
+    def _fused_pallas_ok(self, x, train: bool) -> bool:
+        """OPT-IN (SEMSTEREO_PALLAS_CONV3D_AFFINE=1): lower the whole eval
+        BasicConv(dims=3) — conv + BN affine (folded running stats) + ReLU —
+        to ONE conv3d_wl_affine call, removing the BN/ReLU ops from the XLA
+        graph along with the custom-call boundary they'd otherwise straddle
+        (VERDICT r4 weak #2: the kernel supports the fusion but the modular
+        BasicConv could never use it)."""
+        mode = os.environ.get("SEMSTEREO_PALLAS_CONV3D_AFFINE", "")
+        if (
+            self.deconv
+            or self.dims != 3
+            or not self.use_bn
+            or train
+            or self.groups != 1
+            or mode not in ("1", "all", "s1")
+            or jax.default_backend() != "tpu"
+        ):
+            return False
+        k = _tup(self.kernel_size, 3)
+        s = _tup(self.stride, 3)
+        p = _tup(self.padding, 3)
+        if k != (3, 3, 3) or p != (1, 1, 1) or s not in ((1, 1, 1), (2, 2, 2)):
+            return False
+        if mode == "s1" and s[0] != 1:  # the s2 Pallas variant loses 4x
+            return False
+        from semstereo_tpu.ops.pallas import conv3d_wl as _wl
+
+        return _wl.supported(x.shape, (*k, x.shape[-1], self.features), s[0])
+
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self._fused_pallas_ok(x, train):
+            conv = TorchConv(
+                self.features, self.kernel_size, self.stride, self.padding,
+                dims=self.dims, groups=self.groups, use_bias=False, name="conv",
+            )
+            bn = batch_norm(False, name="bn")
+            bn(conv(jnp.zeros((1, 4, 4, 4, x.shape[-1]), x.dtype)))  # params; DCE'd
+            k = self.get_variable("params", "conv")["kernel"]
+            pbn = self.get_variable("params", "bn")
+            sbn = self.get_variable("batch_stats", "bn")
+            s = pbn["scale"].astype(jnp.float32) / jnp.sqrt(
+                sbn["var"].astype(jnp.float32) + 1e-5
+            )
+            b = pbn["bias"].astype(jnp.float32) - sbn["mean"].astype(jnp.float32) * s
+            from semstereo_tpu.ops.pallas import conv3d_wl as _wl
+
+            return _wl.conv3d_wl_affine(
+                x, k, s, b, _tup(self.stride, 3)[0], self.relu
+            )
         if self.deconv:
             x = TorchConvTranspose(
                 self.features,
