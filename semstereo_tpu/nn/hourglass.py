@@ -16,7 +16,10 @@ import jax.numpy as jnp
 
 from semstereo_tpu.nn.attention import WindowedAttention3D
 from semstereo_tpu.nn.layers import BasicConv, ConvBn, TorchConv
-from semstereo_tpu.ops.convops import classifier_head_fused
+from semstereo_tpu.ops.convops import (
+    classifier_head_fused,
+    classifier_head_fused_v2,
+)
 
 
 class Hourglass3D(nn.Module):
@@ -65,11 +68,8 @@ class Classifier3D(nn.Module):
     def __call__(self, x, train: bool = False):
         conv0 = BasicConv(self.channels, 3, stride=1, padding=1, dims=3, name="conv0")
         conv1 = TorchConv(1, 3, stride=1, padding=1, dims=3, use_bias=False, name="conv1")
-        fused = (
-            not train
-            and x.shape[1] % 4 == 0
-            and os.environ.get("SEMSTEREO_FUSED_CLASSIFIER") == "1"
-        )
+        mode = os.environ.get("SEMSTEREO_FUSED_CLASSIFIER", "")
+        fused = not train and x.shape[1] % 4 == 0 and mode in ("1", "2")
         if not fused:
             return conv1(conv0(x, train))
         # Materialize the identical param tree without running the modular
@@ -85,4 +85,5 @@ class Classifier3D(nn.Module):
         mean = bs0["bn"]["mean"].astype(jnp.float32)
         s = p0["bn"]["scale"].astype(jnp.float32) / jnp.sqrt(var + 1e-5)
         b = p0["bn"]["bias"].astype(jnp.float32) - mean * s
-        return classifier_head_fused(x, p0["conv"]["kernel"], s, b, k1)
+        fn = classifier_head_fused if mode == "1" else classifier_head_fused_v2
+        return fn(x, p0["conv"]["kernel"], s, b, k1)

@@ -128,7 +128,7 @@ class BasicConv(nn.Module):
             or not self.use_bn
             or train
             or self.groups != 1
-            or mode not in ("1", "all", "s1")
+            or mode not in ("1", "all", "s1", "stem")
             or jax.default_backend() != "tpu"
         ):
             return False
@@ -138,6 +138,13 @@ class BasicConv(nn.Module):
         if k != (3, 3, 3) or p != (1, 1, 1) or s not in ((1, 1, 1), (2, 2, 2)):
             return False
         if mode == "s1" and s[0] != 1:  # the s2 Pallas variant loses 4x
+            return False
+        if mode == "stem" and not (
+            s[0] == 1 and x.shape[-1] == 64 and self.features == 32
+        ):
+            # narrowest experiment: only the concat_stem 64->32 conv, whose
+            # dtile fold pays the graph's single largest copies (330+302 MB,
+            # benchmarks/hlo_dump.py r5)
             return False
         from semstereo_tpu.ops.pallas import conv3d_wl as _wl
 

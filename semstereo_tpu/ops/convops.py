@@ -362,6 +362,67 @@ def classifier_head_fused(
     return jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(b, d, h, w)[..., None]
 
 
+def _dfold_kernel_trunc(kernel: jax.Array, d: int) -> jax.Array:
+    """Truncated-band D-fold of a [3,3,3,C,1] kernel: [3, 3, D*C, D] where
+    output plane do reads input planes {do-1, do, do+1} ∩ [0, D) — the
+    boundary taps are simply dropped instead of padding D with zero planes
+    (the pad row would multiply zeros anyway)."""
+    c = kernel.shape[3]
+    k2 = jnp.zeros((3, 3, d, c, d), kernel.dtype)
+    for do in range(d):
+        for kd in range(3):
+            dp = do - 1 + kd
+            if 0 <= dp < d:
+                k2 = k2.at[:, :, dp, :, do].set(kernel[kd, :, :, :, 0])
+    return k2.reshape(3, 3, d * c, d)
+
+
+def classifier_head_fused_v2(
+    x: jax.Array,
+    k0: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    k1: jax.Array,
+    dt: int = 4,
+    precision=None,
+) -> jax.Array:
+    """Conservative variant of classifier_head_fused: conv0 stays the
+    D-tiled fold, conv1 stays the full-D fold (both exactly as the r4
+    default dispatch computes them) — but the unfold transpose after conv0
+    and the pad+refold transpose before conv1 are COMPOSED into one
+    relayout [B,G,H,W,dt,F] -> [B,H,W,D*F], and conv1 uses the truncated
+    band kernel so no D-pad copy is needed.  One full-volume
+    materialization fewer than the per-conv dispatch; none of v1's halo
+    channel-concats (which lost the A/B)."""
+    b, d, h, w, c = x.shape
+    f = k0.shape[-1]
+    assert d % dt == 0, (d, dt)
+    g = d // dt
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    win = jnp.stack([xp[:, i * dt : i * dt + dt + 2] for i in range(g)], axis=1)
+    x2 = jnp.transpose(win, (0, 1, 3, 4, 2, 5)).reshape(b * g, h, w, (dt + 2) * c)
+    k0f = jnp.zeros((3, 3, dt + 2, c, dt, f), k0.dtype)
+    for do in range(dt):
+        k0f = k0f.at[:, :, do : do + 3, :, do].set(k0.transpose(1, 2, 0, 3, 4))
+    k0f = k0f.reshape(3, 3, (dt + 2) * c, dt * f)
+    y = lax.conv_general_dilated(
+        x2, k0f, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    st = jnp.tile(scale.astype(y.dtype), dt)
+    bt = jnp.tile(bias.astype(y.dtype), dt)
+    y = jax.nn.relu(y * st + bt)
+    # composed relayout: [B*G, H, W, dt*F] -> [B, H, W, (G*dt)*F] = D*F
+    y6 = y.reshape(b, g, h, w, dt * f)
+    x1 = jnp.transpose(y6, (0, 2, 3, 1, 4)).reshape(b, h, w, d * f)
+    k1f = _dfold_kernel_trunc(k1, d)
+    out = lax.conv_general_dilated(
+        x1, k1f, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )  # [B, H, W, D]
+    return jnp.transpose(out, (0, 3, 1, 2))[..., None]
+
+
 def conv_transpose_nd(
     x: jax.Array,
     kernel: jax.Array,

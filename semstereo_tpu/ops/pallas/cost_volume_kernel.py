@@ -24,6 +24,20 @@ feature maps to fp32 in VMEM and `pltpu.roll`ed the whole tile per shift):
   * the backward pass is a mirrored Pallas kernel (same tiling, same one-pass
     structure) instead of re-running the XLA forward's vjp.
 
+r5 status — OPTIONAL PATH, bandwidth push closed out: the kernel reaches
+258 GB/s of the 819 GB/s HBM roofline (31.5%); the remaining headroom needs
+bigger TH tiles, which needs a smaller out block per grid step, i.e.
+chunking the D axis across grid steps — and that makes the shift offsets
+dynamic (off = pad_lo - (shifts[0] + ci*dc + dl)), which Mosaic rejects
+("cannot statically prove that index in dimension 0 is a multiple of 8",
+repro'd r5; static sublane offsets of any value are fine, dynamic ones must
+be 8-aligned, and the per-1 shifts span every residue by construction).
+The static-shift structure IS the kernel's win over v1's rolls, so the two
+constraints are in genuine tension.  Meanwhile the XLA builder keeps
+winning every whole-model A/B (r4: -7% with the kernel on), so the default
+stays XLA and this kernel remains the documented, tested, faster-in-
+isolation alternative (`impl='pallas'`) with a native backward.
+
 Kernel math (symmetric shifts s in [-max_shift, max_shift), positive
 [0, max_shift)):  out[b,d,h,x,g] = mean_c ln[b,h,x,g,c] * rn[b,h,x-s_d,g,c]
 for in-range x-s_d else 0, with ln = l / (|l|_g + eps) (reference

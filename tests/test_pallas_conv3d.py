@@ -243,3 +243,22 @@ def test_classifier_head_fused_matches_modular(rng, d, c, f):
     want = _ref(y, k1, 1)
     got = classifier_head_fused(x, k0, s, b, k1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("d,c,f", [(8, 16, 8), (24, 8, 4)])
+def test_classifier_head_fused_v2_matches_modular(rng, d, c, f):
+    """v2 (composed unfold/refold transpose, truncated-band conv1 kernel)
+    == conv0 + affine + ReLU + conv1 as plain 3-D convs."""
+    from semstereo_tpu.ops.convops import classifier_head_fused_v2
+
+    x = jnp.asarray(rng.standard_normal((2, d, 6, 10, c)), jnp.float32)
+    k0 = jnp.asarray(rng.standard_normal((3, 3, 3, c, f)) * 0.1, jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 3, f, 1)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (f,)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+
+    y = _ref(x, k0, 1)
+    y = jax.nn.relu(y * s + b)
+    want = _ref(y, k1, 1)
+    got = classifier_head_fused_v2(x, k0, s, b, k1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
