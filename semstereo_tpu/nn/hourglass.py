@@ -54,13 +54,15 @@ class Hourglass3D(nn.Module):
 class Classifier3D(nn.Module):
     """convbn_3d + ReLU + 1-channel 3x3x3 conv (reference classif/classif_att_).
 
-    OPT-IN (SEMSTEREO_FUSED_CLASSIFIER=1) eval path: the FUSED folded-domain
-    chain (conv0 + BN affine + ReLU + conv1 in one D-tiled layout,
-    ops/convops.py classifier_head_fused).  Measured whole-model A/B at the
-    flagship shape (r5): 18.33 pairs/s fused vs 18.85 with the r4 default
-    per-conv dtile+dfold dispatch, reproduced twice interleaved — the halo
-    channel-concat (y_ext, (dt+2)F wide) costs more than the unfold+refold
-    transposes it removes, so the default stays per-conv."""
+    Eval default: the v2 fused chain (SEMSTEREO_FUSED_CLASSIFIER=2) — conv0
+    stays the D-tiled fold and conv1 the full-D fold, but the unfold+refold
+    transposes between them are COMPOSED into one relayout and conv1 uses
+    the truncated-band kernel (no D-pad copy).  Whole-model A/B at the
+    flagship shape (r5, interleaved x2): v2 19.12/19.10 pairs/s vs 18.89/
+    18.89 per-conv (+1.2%).  The v1 variant (=1: group-local conv1 with
+    halo channel-concats) measured 18.33/18.31 — the concats cost more than
+    the transposes they remove — and stays opt-in for the record.
+    SEMSTEREO_FUSED_CLASSIFIER=0 restores the per-conv dispatch."""
 
     channels: int = 32
 
@@ -68,7 +70,7 @@ class Classifier3D(nn.Module):
     def __call__(self, x, train: bool = False):
         conv0 = BasicConv(self.channels, 3, stride=1, padding=1, dims=3, name="conv0")
         conv1 = TorchConv(1, 3, stride=1, padding=1, dims=3, use_bias=False, name="conv1")
-        mode = os.environ.get("SEMSTEREO_FUSED_CLASSIFIER", "")
+        mode = os.environ.get("SEMSTEREO_FUSED_CLASSIFIER", "2")
         fused = not train and x.shape[1] % 4 == 0 and mode in ("1", "2")
         if not fused:
             return conv1(conv0(x, train))

@@ -111,6 +111,11 @@ def conv_nd(
         # the exact dispatch the TPU runs (r4 lesson — TPU-gated kernels
         # shipped untested), and the fold is numerically equivalent on every
         # backend (fp-reassociation-level differences only).
+        # SEMSTEREO_DTILE_DT tunes the tile: dt=8 does (8+2)/8 = 1.25x MACs
+        # and 1.25x window-copy bytes vs dt=4's 1.5x/1.5x (A/B dimension).
+        dt = int(os.environ.get("SEMSTEREO_DTILE_DT", "4"))
+        if x.shape[1] % dt == 0:
+            return _conv3d_dtile(x, kernel, dt=dt, precision=precision)
         return _conv3d_dtile(x, kernel, precision=precision)
     if (
         nsp == 3
@@ -450,8 +455,18 @@ def conv_transpose_nd(
         (output_padding,) * nsp if isinstance(output_padding, int) else tuple(output_padding)
     )
     ks = kernel.shape[:nsp]
-    if all(s == 2 for s in stride) and all(
-        k + op - 2 * p == 2 for k, p, op in zip(ks, padding, output_padding)
+    # A/B opt-out of the phase decomposition (SEMSTEREO_NO_PHASE_DECONV=
+    # 1|all, 2d, or 3d): the phase path saves ~3.4x MACs but its
+    # pixel-shuffle transposes show up in the r5 copy map (~100 MB class
+    # each at the hourglass deconvs, benchmarks/hlo_dump.py).
+    nope = os.environ.get("SEMSTEREO_NO_PHASE_DECONV", "")
+    phase_off = nope in ("1", "all") or nope == f"{nsp}d"
+    if (
+        all(s == 2 for s in stride)
+        and all(
+            k + op - 2 * p == 2 for k, p, op in zip(ks, padding, output_padding)
+        )
+        and not phase_off
     ):
         return _conv_transpose_x2_phase(x, kernel, padding, precision)
     pads = [
