@@ -227,7 +227,7 @@ class SemStereo(nn.Module):
         xspx = spx_cls(CHANS2[0], deconv=True, name="spx4_2")(xspx, fl[0], train)
         spx_pred = TorchConvTranspose(
             self.num_classes, 4, 2, 1, use_bias=True, name="spx2"
-        )(xspx)
+        )(xspx, phase=train)
 
         # --- stage 1: attention-weight (coarse) cost volume at /8 ---
         groups = CHANS2[2] // 8  # 32
@@ -305,13 +305,38 @@ class SemStereo(nn.Module):
                 lc, rc, samples, impl=self.warp_impl,
                 max_offset=max_off, min_offset=min_off,
             )
-            concat_volume = jnp.concatenate([tiled_lc, warped_rc], axis=-1)
+            stem = BasicConv(CHANS2[1] // 4, 3, 1, 1, dims=3, name="concat_stem")
+            import os
 
-            volume = att_topk[..., None] * concat_volume
-            volume = self._constrain_disp(volume)
-            volume = BasicConv(CHANS2[1] // 4, 3, 1, 1, dims=3, name="concat_stem")(
-                volume, train
-            )
+            if (
+                not train
+                and k % 4 == 0
+                and not (self.shard_disp or self.shard_spatial)
+                and os.environ.get("SEMSTEREO_FOLDED_STEM") == "1"
+            ):
+                # OPT-IN eval experiment: build the stem's D-tiled input
+                # directly from the warp outputs instead of materializing
+                # the [B, K, H, W, 2C] volume and window-stacking it — the
+                # graph's largest copy pair (ops/convops.py
+                # folded_stem_conv).  Same params (dummy materialization).
+                stem(jnp.zeros((1, 4, 4, 4, 2 * tiled_lc.shape[-1]),
+                               tiled_lc.dtype), False)
+                p0 = self.get_variable("params", "concat_stem")
+                bs0 = self.get_variable("batch_stats", "concat_stem")
+                var = bs0["bn"]["var"].astype(jnp.float32)
+                mean = bs0["bn"]["mean"].astype(jnp.float32)
+                s = p0["bn"]["scale"].astype(jnp.float32) / jnp.sqrt(var + 1e-5)
+                bb = p0["bn"]["bias"].astype(jnp.float32) - mean * s
+                from semstereo_tpu.ops.convops import folded_stem_conv
+
+                volume = folded_stem_conv(
+                    att_topk, tiled_lc, warped_rc, p0["conv"]["kernel"], s, bb
+                )
+            else:
+                concat_volume = jnp.concatenate([tiled_lc, warped_rc], axis=-1)
+                volume = att_topk[..., None] * concat_volume
+                volume = self._constrain_disp(volume)
+                volume = stem(volume, train)
             volume = ChannelAtt(CHANS2[1] // 4, name="concat_feature_att_4")(
                 volume, fl[1], train
             )

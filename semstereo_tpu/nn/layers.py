@@ -58,7 +58,10 @@ class TorchConv(nn.Module):
 
 
 class TorchConvTranspose(nn.Module):
-    """Transposed conv with torch geometry; kernel [*K, Cin, Cout]."""
+    """Transposed conv with torch geometry; kernel [*K, Cin, Cout].
+
+    ``phase`` selects the stride-2 lowering (None = legacy phase path;
+    the model passes ``phase=train`` — see ops/convops.py policy note)."""
 
     features: int
     kernel_size: Any = 4
@@ -70,13 +73,15 @@ class TorchConvTranspose(nn.Module):
     kernel_init: Any = kaiming_out_normal
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase: bool | None = None):
         k = _tup(self.kernel_size, self.dims)
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", self.kernel_init, (*k, cin, self.features), x.dtype
         )
-        y = conv_transpose_nd(x, kernel, self.stride, self.padding, self.output_padding)
+        y = conv_transpose_nd(
+            x, kernel, self.stride, self.padding, self.output_padding, phase=phase
+        )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
             y = y + bias
@@ -181,7 +186,7 @@ class BasicConv(nn.Module):
                 dims=self.dims,
                 use_bias=False,
                 name="conv",
-            )(x)
+            )(x, phase=train)
         else:
             x = TorchConv(
                 self.features,

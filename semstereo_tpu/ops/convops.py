@@ -44,6 +44,26 @@ def conv_nd(
     elif padding and isinstance(padding[0], int):
         padding = [(p, p) for p in padding]
     if (
+        nsp == 2
+        and groups == x.shape[-1]
+        and kernel.shape[-2] == 1
+        and kernel.shape[-1] == groups
+        and kernel.shape[:2] == (3, 3)
+        and stride[0] == stride[1]
+        and stride[0] in (1, 2)
+        and dilation == (1, 1)
+        and all(p == (1, 1) for p in padding)
+        and os.environ.get("SEMSTEREO_NO_DW_SHIFTMAD") != "1"
+    ):
+        # Depthwise 3x3 as 9 shifted multiply-adds: XLA's grouped-conv path
+        # brackets every backbone dw conv with T(8,128) relayout copies
+        # (~350 MB/iter across the MobileViTv2 stages, benchmarks/
+        # hlo_dump.py r5); the shift-mad form is pure elementwise VPU work
+        # that fuses into one loop with no conv layout domain at all.
+        # Whole-model A/B'd (results_r5.json); opt-out
+        # SEMSTEREO_NO_DW_SHIFTMAD=1.
+        return _depthwise3x3_shiftmad(x, kernel, stride[0])
+    if (
         kernel.shape[: nsp] == (1,) * nsp
         and stride == (1,) * nsp
         and groups == 1
@@ -182,6 +202,30 @@ def conv_nd(
         feature_group_count=groups,
         precision=precision,
     )
+
+
+def _depthwise3x3_shiftmad(x: jax.Array, kernel: jax.Array, s: int) -> jax.Array:
+    """Depthwise 3x3 pad-1 conv (stride 1 or 2) as 9 shifted multiply-adds.
+
+    x: [B, H, W, C]; kernel: [3, 3, 1, C] (torch depthwise layout:
+    feature_group_count = C, one input channel per group).
+    y[b,h,w,c] = sum_{kh,kw} x[b, s*h+kh-1, s*w+kw-1, c] * K[kh,kw,0,c].
+    """
+    b, h, w, c = x.shape
+    oh, ow = (h + 2 - 3) // s + 1, (w + 2 - 3) // s + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for kh in range(3):
+        for kw in range(3):
+            sl = lax.slice(
+                xp,
+                (0, kh, kw, 0),
+                (b, kh + s * (oh - 1) + 1, kw + s * (ow - 1) + 1, c),
+                (1, s, s, 1),
+            )
+            term = sl * kernel[kh, kw, 0]
+            out = term if out is None else out + term
+    return out
 
 
 def _conv3d_kdsplit(x, kernel, s, pad_hw, precision):
@@ -367,6 +411,65 @@ def classifier_head_fused(
     return jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(b, d, h, w)[..., None]
 
 
+def folded_stem_conv(
+    att: jax.Array,
+    tl: jax.Array,
+    wr: jax.Array,
+    kernel: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    dt: int = 4,
+    precision=None,
+) -> jax.Array:
+    """Stage-2 stem (volume build + BasicConv 3^3 s1 + BN affine + ReLU,
+    models/semstereo.py) with the D-tiled conv input built DIRECTLY from the
+    warp outputs.
+
+    The default path materializes volume = att[..., None] * concat(tl, wr)
+    ([B, D, H, W, 2C], ~200 MB bf16 at the flagship shape) and then window-
+    stacks it into the dtile layout — the graph's single largest copy pair
+    (330+302 MB, benchmarks/hlo_dump.py).  Here each window plane's channel
+    block is computed straight from att/tl/wr slices, so the folded tensor
+    is the elementwise producer's ONLY materialization (duplicated halo
+    planes cost (dt+2)/dt extra VPU work, not extra round trips).
+
+    att: [B, D, H, W]; tl, wr: [B, D, H, W, C]; kernel: [3,3,3,2C,F];
+    scale/bias: [F] (folded eval BN).  Returns [B, D, H, W, F].
+    """
+    b, d, h, w = att.shape
+    c = tl.shape[-1]
+    assert d % dt == 0, (d, dt)
+    g = d // dt
+    zeros = jnp.zeros((b, h, w, 2 * c), tl.dtype)
+
+    def block(di: int) -> jax.Array:
+        if di < 0 or di >= d:
+            return zeros
+        a = att[:, di, :, :, None]
+        return jnp.concatenate([a * tl[:, di], a * wr[:, di]], axis=-1)
+
+    rows = [
+        jnp.concatenate([block(i * dt + j - 1) for j in range(dt + 2)], axis=-1)
+        for i in range(g)
+    ]  # G x [B, H, W, (dt+2)*2C]
+    x2 = jnp.stack(rows, axis=1).reshape(b * g, h, w, (dt + 2) * 2 * c)
+
+    f = kernel.shape[-1]
+    k2 = jnp.zeros((3, 3, dt + 2, 2 * c, dt, f), kernel.dtype)
+    for do in range(dt):
+        k2 = k2.at[:, :, do : do + 3, :, do].set(kernel.transpose(1, 2, 0, 3, 4))
+    k2 = k2.reshape(3, 3, (dt + 2) * 2 * c, dt * f)
+    y = lax.conv_general_dilated(
+        x2, k2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )  # [B*G, H, W, dt*F]
+    st = jnp.tile(scale.astype(y.dtype), dt)
+    bt = jnp.tile(bias.astype(y.dtype), dt)
+    y = jax.nn.relu(y * st + bt)
+    y = y.reshape(b, g, h, w, dt, f)
+    return jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b, d, h, w, f)
+
+
 def _dfold_kernel_trunc(kernel: jax.Array, d: int) -> jax.Array:
     """Truncated-band D-fold of a [3,3,3,C,1] kernel: [3, 3, D*C, D] where
     output plane do reads input planes {do-1, do, do+1} ∩ [0, D) — the
@@ -435,6 +538,7 @@ def conv_transpose_nd(
     padding,
     output_padding=0,
     precision=None,
+    phase: bool | None = None,
 ) -> jax.Array:
     """Channels-last transposed conv with torch geometry.
 
@@ -455,18 +559,28 @@ def conv_transpose_nd(
         (output_padding,) * nsp if isinstance(output_padding, int) else tuple(output_padding)
     )
     ks = kernel.shape[:nsp]
-    # A/B opt-out of the phase decomposition (SEMSTEREO_NO_PHASE_DECONV=
-    # 1|all, 2d, or 3d): the phase path saves ~3.4x MACs but its
-    # pixel-shuffle transposes show up in the r5 copy map (~100 MB class
-    # each at the hourglass deconvs, benchmarks/hlo_dump.py).
+    # Phase-vs-dilated policy.  The phase decomposition saves ~3.4x MACs,
+    # but its pixel-shuffle transposes are relayout copies (~100 MB class
+    # each at the hourglass deconvs, benchmarks/hlo_dump.py) — measured
+    # whole-model (results_r5.json): EVAL wins +4.7% on the dilated path
+    # (20.0 vs 19.1 pairs/s), TRAIN wins 7% on the phase path (323 vs
+    # 346 ms/step; the phase conv's backward structure fuses better).  The
+    # model passes ``phase=train`` accordingly; ``phase=None`` (external
+    # callers, tests) keeps the legacy phase default.  Env overrides for
+    # A/B: SEMSTEREO_NO_PHASE_DECONV=1|all|2d|3d forces dilated,
+    # SEMSTEREO_PHASE_DECONV=1 forces phase.
     nope = os.environ.get("SEMSTEREO_NO_PHASE_DECONV", "")
-    phase_off = nope in ("1", "all") or nope == f"{nsp}d"
+    use_phase = True if phase is None else bool(phase)
+    if nope in ("1", "all") or nope == f"{nsp}d":
+        use_phase = False
+    elif os.environ.get("SEMSTEREO_PHASE_DECONV") == "1":
+        use_phase = True
     if (
         all(s == 2 for s in stride)
         and all(
             k + op - 2 * p == 2 for k, p, op in zip(ks, padding, output_padding)
         )
-        and not phase_off
+        and use_phase
     ):
         return _conv_transpose_x2_phase(x, kernel, padding, precision)
     pads = [

@@ -124,3 +124,40 @@ def test_conv_transpose3d_matches_torch_k3s2p1op1(rng):
     np.testing.assert_allclose(
         np.transpose(np.asarray(out), (0, 4, 1, 2, 3)), ref, rtol=1e-4, atol=1e-4
     )
+
+
+def test_depthwise3x3_shiftmad_matches_grouped_conv(rng):
+    """Default-on depthwise 3x3 dispatch (shift-multiply-add form) must equal
+    the grouped conv_general_dilated for stride 1 and 2, values and grads."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from semstereo_tpu.ops.convops import conv_nd
+
+    for s in (1, 2):
+        x = jnp.asarray(rng.standard_normal((2, 10, 12, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 1, 16)) * 0.3, jnp.float32)
+        want = lax.conv_general_dilated(
+            x, k, (s, s), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=16,
+        )
+        got = conv_nd(x, k, s, 1, groups=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def loss_new(x, k):
+        return jnp.sum(conv_nd(x, k, 1, 1, groups=x.shape[-1]) ** 2)
+
+    def loss_ref(x, k):
+        return jnp.sum(
+            lax.conv_general_dilated(
+                x, k, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=x.shape[-1],
+            ) ** 2
+        )
+
+    g1 = jax.grad(loss_new, argnums=(0, 1))(x, k)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

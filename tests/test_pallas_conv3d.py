@@ -262,3 +262,22 @@ def test_classifier_head_fused_v2_matches_modular(rng, d, c, f):
     want = _ref(y, k1, 1)
     got = classifier_head_fused_v2(x, k0, s, b, k1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_folded_stem_conv_matches_modular(rng):
+    """folded_stem_conv (stem input built directly from warp outputs) ==
+    att*concat(tl,wr) -> direct 3-D conv -> affine -> ReLU."""
+    from semstereo_tpu.ops.convops import folded_stem_conv
+
+    b, d, h, w, c, f = 2, 8, 6, 10, 8, 8
+    att = jnp.asarray(rng.standard_normal((b, d, h, w)), jnp.float32)
+    tl = jnp.asarray(rng.standard_normal((b, d, h, w, c)), jnp.float32)
+    wr = jnp.asarray(rng.standard_normal((b, d, h, w, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 2 * c, f)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (f,)), jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((f,)) * 0.1, jnp.float32)
+
+    vol = att[..., None] * jnp.concatenate([tl, wr], axis=-1)
+    want = jax.nn.relu(_ref(vol, k, 1) * s + bb)
+    got = folded_stem_conv(att, tl, wr, k, s, bb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
