@@ -312,13 +312,15 @@ class SemStereo(nn.Module):
                 not train
                 and k % 4 == 0
                 and not (self.shard_disp or self.shard_spatial)
-                and os.environ.get("SEMSTEREO_FOLDED_STEM") == "1"
+                and os.environ.get("SEMSTEREO_FOLDED_STEM", "1") != "0"
             ):
-                # OPT-IN eval experiment: build the stem's D-tiled input
-                # directly from the warp outputs instead of materializing
-                # the [B, K, H, W, 2C] volume and window-stacking it — the
+                # Eval default (+1.2% whole-model, interleaved x2,
+                # results_r5.json): build the stem's D-tiled input directly
+                # from the warp outputs instead of materializing the
+                # [B, K, H, W, 2C] volume and window-stacking it — the
                 # graph's largest copy pair (ops/convops.py
-                # folded_stem_conv).  Same params (dummy materialization).
+                # folded_stem_conv).  Same params (dummy materialization);
+                # SEMSTEREO_FOLDED_STEM=0 restores the unfolded path.
                 stem(jnp.zeros((1, 4, 4, 4, 2 * tiled_lc.shape[-1]),
                                tiled_lc.dtype), False)
                 p0 = self.get_variable("params", "concat_stem")

@@ -266,12 +266,31 @@ def _conv3d_dtile(x: jax.Array, kernel: jax.Array, dt: int = 4, precision=None) 
     f = kernel.shape[-1]
     assert d % dt == 0, (d, dt)
     g = d // dt
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-    # overlapping windows of dt+2 planes -> [B, G, dt+2, H, W, C]
-    win = jnp.stack([xp[:, i * dt : i * dt + dt + 2] for i in range(g)], axis=1)
-    x2 = jnp.transpose(win, (0, 1, 3, 4, 2, 5)).reshape(
-        b * g, h, w, (dt + 2) * c
-    )
+    if os.environ.get("SEMSTEREO_DTILE_STACK") == "1":
+        # legacy construction: pad -> window stack -> transpose (the
+        # transpose is a relayout of the whole folded tensor)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        win = jnp.stack([xp[:, i * dt : i * dt + dt + 2] for i in range(g)], axis=1)
+        x2 = jnp.transpose(win, (0, 1, 3, 4, 2, 5)).reshape(
+            b * g, h, w, (dt + 2) * c
+        )
+    else:
+        # concat-of-plane-slices: window planes land straight in the minor
+        # (lane) axis, no transpose — and XLA can fuse the producer's
+        # elementwise epilogue into the concat write (the mechanism behind
+        # the folded-stem +1.2%, results_r5.json)
+        zeros = jnp.zeros((b, h, w, c), x.dtype)
+
+        def plane(di):
+            return zeros if di < 0 or di >= d else x[:, di]
+
+        rows = [
+            jnp.concatenate(
+                [plane(i * dt + j - 1) for j in range(dt + 2)], axis=-1
+            )
+            for i in range(g)
+        ]
+        x2 = jnp.stack(rows, axis=1).reshape(b * g, h, w, (dt + 2) * c)
     k2 = jnp.zeros((3, 3, dt + 2, c, dt, f), kernel.dtype)
     for do in range(dt):
         k2 = k2.at[:, :, do : do + 3, :, do].set(
@@ -506,9 +525,18 @@ def classifier_head_fused_v2(
     f = k0.shape[-1]
     assert d % dt == 0, (d, dt)
     g = d // dt
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-    win = jnp.stack([xp[:, i * dt : i * dt + dt + 2] for i in range(g)], axis=1)
-    x2 = jnp.transpose(win, (0, 1, 3, 4, 2, 5)).reshape(b * g, h, w, (dt + 2) * c)
+    zeros = jnp.zeros((b, h, w, c), x.dtype)
+    rows = [
+        jnp.concatenate(
+            [
+                zeros if (di := i * dt + j - 1) < 0 or di >= d else x[:, di]
+                for j in range(dt + 2)
+            ],
+            axis=-1,
+        )
+        for i in range(g)
+    ]  # concat-of-slices fold (see _conv3d_dtile): no transpose, producer fuses
+    x2 = jnp.stack(rows, axis=1).reshape(b * g, h, w, (dt + 2) * c)
     k0f = jnp.zeros((3, 3, dt + 2, c, dt, f), k0.dtype)
     for do in range(dt):
         k0f = k0f.at[:, :, do : do + 3, :, do].set(k0.transpose(1, 2, 0, 3, 4))
