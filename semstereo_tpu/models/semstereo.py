@@ -364,4 +364,6 @@ class _ConcatFeature(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = BasicConv(CHANS2[1] // 2, 3, 1, 1, name="cf0")(x, train)
-        return TorchConv(CHANS2[1] // 4, 3, 1, 1, use_bias=False, name="cf1")(x)
+        return TorchConv(
+            CHANS2[1] // 4, 3, 1, 1, use_bias=False, fold_stack=train, name="cf1"
+        )(x)

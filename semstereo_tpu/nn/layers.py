@@ -29,7 +29,10 @@ def _tup(v, n):
 
 
 class TorchConv(nn.Module):
-    """Plain conv with torch-style integer padding; kernel [*K, Cin/groups, Cout]."""
+    """Plain conv with torch-style integer padding; kernel [*K, Cin/groups, Cout].
+
+    ``fold_stack`` picks the dtile window construction for folded 3-D convs
+    (True = stack+transpose, the train-side choice; see ops/convops.py)."""
 
     features: int
     kernel_size: Any = 3
@@ -40,6 +43,7 @@ class TorchConv(nn.Module):
     use_bias: bool = True
     dilation: Any = 1
     kernel_init: Any = kaiming_out_normal
+    fold_stack: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -49,7 +53,8 @@ class TorchConv(nn.Module):
             "kernel", self.kernel_init, (*k, cin // self.groups, self.features), x.dtype
         )
         y = conv_nd(
-            x, kernel, self.stride, self.padding, dilation=self.dilation, groups=self.groups
+            x, kernel, self.stride, self.padding, dilation=self.dilation,
+            groups=self.groups, fold_stack=self.fold_stack,
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), x.dtype)
@@ -196,6 +201,7 @@ class BasicConv(nn.Module):
                 dims=self.dims,
                 groups=self.groups,
                 use_bias=False,
+                fold_stack=train,
                 name="conv",
             )(x)
         if self.use_bn:
@@ -224,6 +230,7 @@ class ConvBn(nn.Module):
             self.padding,
             dims=self.dims,
             use_bias=self.use_bias,
+            fold_stack=train,
             name="conv",
         )(x)
         return batch_norm(train, name="bn")(x)

@@ -34,6 +34,7 @@ def conv_nd(
     dilation=1,
     groups: int = 1,
     precision=None,
+    fold_stack: bool | None = None,
 ) -> jax.Array:
     """Channels-last conv.  x: [B, *S, Cin], kernel: [*K, Cin//groups, Cout]."""
     nsp = x.ndim - 2
@@ -134,9 +135,11 @@ def conv_nd(
         # SEMSTEREO_DTILE_DT tunes the tile: dt=8 does (8+2)/8 = 1.25x MACs
         # and 1.25x window-copy bytes vs dt=4's 1.5x/1.5x (A/B dimension).
         dt = int(os.environ.get("SEMSTEREO_DTILE_DT", "4"))
-        if x.shape[1] % dt == 0:
-            return _conv3d_dtile(x, kernel, dt=dt, precision=precision)
-        return _conv3d_dtile(x, kernel, precision=precision)
+        if x.shape[1] % dt != 0:
+            dt = 4
+        return _conv3d_dtile(
+            x, kernel, dt=dt, precision=precision, fold_stack=fold_stack
+        )
     if (
         nsp == 3
         and stride == (1, 1, 1)
@@ -253,7 +256,10 @@ def _conv3d_kdsplit(x, kernel, s, pad_hw, precision):
     return out.reshape(b, od, oh, ow, f)
 
 
-def _conv3d_dtile(x: jax.Array, kernel: jax.Array, dt: int = 4, precision=None) -> jax.Array:
+def _conv3d_dtile(
+    x: jax.Array, kernel: jax.Array, dt: int = 4, precision=None,
+    fold_stack: bool | None = None,
+) -> jax.Array:
     """3x3x3 s1 p1 conv as a 2-D conv over D-tiles of ``dt`` output planes.
 
     Generalizes _conv3d_cout1_dfold: fold tiles of dt output planes (with a
@@ -266,19 +272,23 @@ def _conv3d_dtile(x: jax.Array, kernel: jax.Array, dt: int = 4, precision=None) 
     f = kernel.shape[-1]
     assert d % dt == 0, (d, dt)
     g = d // dt
-    if os.environ.get("SEMSTEREO_DTILE_STACK") == "1":
-        # legacy construction: pad -> window stack -> transpose (the
-        # transpose is a relayout of the whole folded tensor)
+    # Two window constructions, chosen per graph (measured, results_r5.json):
+    #   stack+transpose — cheaper BACKWARD (transpose/unstack adjoint): the
+    #     TRAIN default (b1 321 vs 369 ms with concat-of-slices);
+    #   concat-of-slices — window planes land straight in the lane axis, no
+    #     transpose, and the producer's elementwise epilogue fuses into the
+    #     concat write: the EVAL default (the folded-stem mechanism).
+    # Callers thread fold_stack=train (nn/layers.py); env overrides for A/B:
+    # SEMSTEREO_DTILE_STACK=1 forces stack, =0 forces concat.
+    env = os.environ.get("SEMSTEREO_DTILE_STACK", "")
+    use_stack = bool(fold_stack) if env == "" else env == "1"
+    if use_stack:
         xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
         win = jnp.stack([xp[:, i * dt : i * dt + dt + 2] for i in range(g)], axis=1)
         x2 = jnp.transpose(win, (0, 1, 3, 4, 2, 5)).reshape(
             b * g, h, w, (dt + 2) * c
         )
     else:
-        # concat-of-plane-slices: window planes land straight in the minor
-        # (lane) axis, no transpose — and XLA can fuse the producer's
-        # elementwise epilogue into the concat write (the mechanism behind
-        # the folded-stem +1.2%, results_r5.json)
         zeros = jnp.zeros((b, h, w, c), x.dtype)
 
         def plane(di):
