@@ -231,6 +231,12 @@ class SemStereo(nn.Module):
 
         # --- stage 1: attention-weight (coarse) cost volume at /8 ---
         groups = CHANS2[2] // 8  # 32
+        d8 = self.maxdisp // 8 * (2 if self.symmetric else 1)
+        assert d8 % 4 == 0, (
+            f"maxdisp={self.maxdisp} gives a {d8}-plane /8 attention volume; "
+            "the hourglass needs D divisible by 4 (two stride-2 halvings) — "
+            f"minimum maxdisp is {16 if self.symmetric else 32}"
+        )
         corr = gwc_volume_norm(
             fl[2], fr2, self.maxdisp // 8, groups,
             symmetric=self.symmetric, impl=self.cost_volume_impl,
