@@ -31,6 +31,12 @@ def main():
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--maxdisp", type=int, default=64)
+    p.add_argument(
+        "--whu", action="store_true",
+        help="WHU flagship variant: positive-disparity SemStereo_WHU "
+        "semantics (pair with --maxdisp 128, the reference main_whu.py shape)",
+    )
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
@@ -54,7 +60,7 @@ def main():
     from semstereo_tpu.models import SemStereo
 
     model = SemStereo(
-        maxdisp=64, num_classes=6,
+        maxdisp=args.maxdisp, num_classes=6, symmetric=not args.whu,
         cost_volume_impl=args.cost_volume, warp_impl=args.warp,
         fuse_views=True if args.fuse_views else None,
     )
@@ -101,7 +107,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"stereo_pairs_per_sec_{args.height}x{args.width}_eval",
+                "metric": f"stereo_pairs_per_sec_{args.height}x{args.width}_eval"
+                + (f"_whu_maxdisp{args.maxdisp}" if args.whu else ""),
                 "value": round(pairs_per_sec, 4),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(pairs_per_sec / 1.0, 4),
